@@ -1,0 +1,20 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU analog of the reference's CPU fallbacks (SURVEY.md §4): all
+kernels/models/sharding are exercised hardware-independently; multi-chip
+sharding runs on a fake mesh via xla_force_host_platform_device_count.
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402  (after env setup, before any test imports)
+
+# Numerical-parity tests compare against float32 torch oracles; the backend's
+# default matmul/conv precision is bf16-class, so pin full precision here.
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,250 @@
+"""Sampler math vs an independent torch oracle of the reference update rules
+(reference: models/__init__.py:102-340, models/pndm.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from mcvd_tpu.config import dict2namespace
+from mcvd_tpu.diffusion import make_schedule
+from mcvd_tpu.diffusion.samplers import (
+    anneal_langevin_dynamics,
+    ddim_sampler,
+    ddpm_sampler,
+    fpndm_sampler,
+)
+
+
+def cfg(version="DDPM", T=100, dist="linear"):
+    return dict2namespace(
+        {
+            "model": {
+                "version": version,
+                "sigma_dist": dist,
+                "sigma_begin": 0.02 if dist == "linear" else 5.0,
+                "sigma_end": 0.0001 if dist == "linear" else 0.01,
+                "num_classes": T,
+                "gamma": False,
+            }
+        }
+    )
+
+
+# A deterministic fake score network: eps = c(t) * x, with c depending on the
+# label so label-handling bugs are caught.
+def eps_fn_jax(x, labels):
+    c = 0.01 + 0.001 * labels.astype(jnp.float32)
+    return c.reshape(-1, *([1] * (x.ndim - 1))) * x
+
+
+def eps_fn_torch(x, labels):
+    c = 0.01 + 0.001 * labels.float()
+    return c.reshape(-1, *([1] * (x.dim() - 1))) * x
+
+
+def torch_tables(T, subsample=None):
+    betas = torch.linspace(0.02, 0.0001, T)
+    alphas = torch.cumprod(1 - betas.flip(0), 0).flip(0)
+    alphas_prev = torch.cat([alphas[1:], torch.tensor([1.0])])
+    steps = torch.arange(T)
+    if subsample is not None and subsample < T:
+        skip = T // subsample
+        steps = torch.arange(0, T, skip)
+        alphas = alphas.index_select(0, steps)
+        alphas_prev = torch.cat([alphas[1:], torch.tensor([1.0])])
+        betas = 1.0 - alphas / alphas_prev
+    return steps, alphas, alphas_prev, betas
+
+
+def torch_ddpm(x, T, subsample=None, clip_before=True, denoise=True, t_min=-1.0):
+    steps, alphas, alphas_prev, betas = torch_tables(T, subsample)
+    L = len(steps)
+    x_transf = False
+    executed = 0
+    for i, step in enumerate(steps):
+        if step < t_min * len(alphas):
+            continue
+        if not x_transf and t_min > 0:
+            x = alphas[i].sqrt() * x  # noise term zero in this test
+        x_transf = True
+        a, ap, b = alphas[i], alphas_prev[i], betas[i]
+        labels = step * torch.ones(x.shape[0], dtype=torch.long)
+        grad = eps_fn_torch(x, labels)
+        x0 = (1 / a.sqrt()) * (x - (1 - a).sqrt() * grad)
+        if clip_before:
+            x0 = x0.clip(-1, 1)
+        x = (ap.sqrt() * b / (1 - a)) * x0 + ((1 - b).sqrt() * (1 - ap) / (1 - a)) * x
+        executed += 1
+        # noise add skipped: noise_val = zeros (same_noise)
+    if denoise:
+        labels = (L - 1) * torch.ones(x.shape[0], dtype=torch.long)
+        x = x - (1 - alphas[-1]).sqrt() * eps_fn_torch(x, labels)
+    return x
+
+
+def torch_ddim(x, T, subsample=None, clip_before=True, denoise=True):
+    steps, alphas, alphas_prev, _ = torch_tables(T, subsample)
+    L = len(steps)
+    for i, step in enumerate(steps):
+        a, ap = alphas[i], alphas_prev[i]
+        labels = step * torch.ones(x.shape[0], dtype=torch.long)
+        grad = eps_fn_torch(x, labels)
+        x0 = (1 / a.sqrt()) * (x - (1 - a).sqrt() * grad)
+        if clip_before:
+            x0 = x0.clip(-1, 1)
+        x = ap.sqrt() * x0 + (1 - ap).sqrt() * grad
+    if denoise:
+        labels = (L - 1) * torch.ones(x.shape[0], dtype=torch.long)
+        x = x - (1 - alphas[-1]).sqrt() * eps_fn_torch(x, labels)
+    return x
+
+
+def _x0():
+    rng = np.random.RandomState(0)
+    return rng.randn(2, 4, 4, 3).astype(np.float32)
+
+
+def test_ddpm_matches_torch_full():
+    x0 = _x0()
+    sched = make_schedule(cfg(T=100))
+    out = ddpm_sampler(
+        jax.random.PRNGKey(0),
+        jnp.asarray(x0),
+        eps_fn_jax,
+        sched,
+        same_noise=True,
+        noise_val=jnp.zeros_like(jnp.asarray(x0)),
+    )[0]
+    ref = torch_ddpm(torch.from_numpy(x0), 100)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_ddpm_matches_torch_subsampled():
+    x0 = _x0()
+    sched = make_schedule(cfg(T=100))
+    out = ddpm_sampler(
+        jax.random.PRNGKey(0),
+        jnp.asarray(x0),
+        eps_fn_jax,
+        sched,
+        subsample_steps=10,
+        same_noise=True,
+        noise_val=jnp.zeros_like(jnp.asarray(x0)),
+    )[0]
+    ref = torch_ddpm(torch.from_numpy(x0), 100, subsample=10)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_ddpm_t_min_skips_steps():
+    x0 = _x0()
+    sched = make_schedule(cfg(T=100))
+    # same_noise with zero noise also zeroes the t_min injection noise? No:
+    # injection uses gaussian; to keep determinism compare only shapes + the
+    # torch path with zero-noise injection via monkeypatched key -> skip.
+    # Here we check the zero-noise deterministic part by injecting zero noise:
+    out = ddpm_sampler(
+        jax.random.PRNGKey(0),
+        jnp.asarray(x0) * 0.0,  # x=0 -> injected noise scaling is the only diff
+        eps_fn_jax,
+        sched,
+        subsample_steps=10,
+        t_min=0.5,
+        same_noise=True,
+        noise_val=jnp.zeros_like(jnp.asarray(x0)),
+        denoise=False,
+    )[0]
+    assert out.shape == x0.shape
+
+
+def test_ddim_matches_torch():
+    x0 = _x0()
+    sched = make_schedule(cfg(T=100, version="DDIM"))
+    out = ddim_sampler(
+        jax.random.PRNGKey(0), jnp.asarray(x0), eps_fn_jax, sched, subsample_steps=10
+    )[0]
+    ref = torch_ddim(torch.from_numpy(x0), 100, subsample=10)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def torch_fpndm(x, T, subsample):
+    betas = torch.linspace(0.02, 0.0001, T)
+    alphas = torch.cumprod(1 - betas.flip(0), 0).flip(0)
+    alphas_old = alphas.flip(0)
+
+    def transfer(x, t, t_next, et, clip=True):
+        at = alphas_old[t + 1]
+        at_next = alphas_old[t_next + 1]
+        x_delta = (at_next - at) * (
+            (1 / (at.sqrt() * (at.sqrt() + at_next.sqrt()))) * x
+            - 1
+            / (at.sqrt() * (((1 - at_next) * at).sqrt() + ((1 - at) * at_next).sqrt()))
+            * et
+        )
+        xn = x + x_delta
+        return xn.clip(-1, 1) if clip else xn
+
+    def model(x, t):
+        labels = t * torch.ones(x.shape[0], dtype=torch.long)
+        return eps_fn_torch(x, labels)
+
+    skip = T // subsample
+    steps = list(range(0, T, skip))
+    steps_next = [-1] + steps[:-1]
+    ets = []
+    for i in range(len(steps)):
+        t, t_next = steps[i], steps_next[i]
+        if len(ets) > 2:
+            e = model(x, t)
+            ets.append(e)
+            noise = (1 / 24) * (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4])
+        else:
+            t_mid = int((t + t_next) / 2)
+            e_1 = model(x, t)
+            ets.append(e_1)
+            x_2 = transfer(x, t, t_mid, e_1)
+            e_2 = model(x_2, t_mid)
+            x_3 = transfer(x, t, t_mid, e_2)
+            e_3 = model(x_3, t_mid)
+            x_4 = transfer(x, t, t_next, e_3)
+            e_4 = model(x_4, t_next)
+            noise = (1 / 6) * (e_1 + 2 * e_2 + 2 * e_3 + e_4)
+        x = transfer(x, t, t_next, noise)
+    return x
+
+
+def test_fpndm_matches_torch():
+    x0 = _x0()
+    sched = make_schedule(cfg(T=100, version="FPNDM"))
+    out = fpndm_sampler(
+        jax.random.PRNGKey(0), jnp.asarray(x0), eps_fn_jax, sched, subsample_steps=10
+    )[0]
+    ref = torch_fpndm(torch.from_numpy(x0), 100, 10)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=3e-4, atol=3e-5)
+
+
+def test_langevin_smld_zero_noise():
+    x0 = _x0()
+    sched = make_schedule(cfg(T=10, version="SMLD", dist="geometric"))
+    out = anneal_langevin_dynamics(
+        jax.random.PRNGKey(0),
+        jnp.asarray(x0),
+        eps_fn_jax,
+        sched,
+        n_steps_each=3,
+        step_lr=8e-6,
+        same_noise=True,
+        noise_val=jnp.zeros_like(jnp.asarray(x0)),
+    )[0]
+    # torch oracle
+    sigmas = torch.logspace(np.log10(5.0), np.log10(0.01), 10)
+    x = torch.from_numpy(x0)
+    for c, sigma in enumerate(sigmas):
+        labels = c * torch.ones(x.shape[0], dtype=torch.long)
+        step_size = 8e-6 * (sigma / sigmas[-1]) ** 2
+        for _ in range(3):
+            grad = eps_fn_torch(x, labels)
+            x = x - step_size / sigma * grad
+    labels = 9 * torch.ones(x.shape[0], dtype=torch.long)
+    x = x - sigmas[-1] * eps_fn_torch(x, labels)
+    np.testing.assert_allclose(np.asarray(out), x.numpy(), rtol=2e-4, atol=2e-5)
