@@ -1,0 +1,23 @@
+from .ncsnpp import NCSNpp, UNetMoreDDPM
+from .ema import EMA
+from . import blocks, layers, resample
+
+
+def get_model(config):
+    """Model dispatch by config.model.arch (reference: ncsn_runner.py:180-195).
+
+    The reference's dispatcher silently returns None for arch='unet' (a bug —
+    bare `Exception(...)` without raise); here the legacy UNet is actually
+    constructible.
+    """
+    arch = getattr(config.model, "arch", "unetmore")
+    if arch in ("unetmore", "unetmore3d", "unetmorepseudo3d"):
+        return UNetMoreDDPM(config)
+    elif arch == "unet":
+        from .unet import UNetLegacy
+
+        return UNetLegacy(config)
+    raise ValueError(f"arch not valid: {arch} (expected unet/unetmore/unetmore3d/unetmorepseudo3d)")
+
+
+__all__ = ["NCSNpp", "UNetMoreDDPM", "EMA", "get_model", "blocks", "layers", "resample"]

@@ -1,0 +1,392 @@
+"""NCSN++ score networks (concat and SPADE variants; 2D/3D/pseudo3D) in flax.
+
+TPU-native rebuild of models/better/ncsnpp_more.py (NCSNpp:32, SPADE_NCSNpp:396,
+UNetMore_DDPM:721). NHWC layout; frames folded into the channel axis:
+  * model input x: (B, H, W, num_frames*C)    [frame-major: f*C + c]
+  * cond frames:   (B, H, W, cond_frames*C)
+  * 3D variants internally reorder to channel-major (c*N + n) exactly as the
+    reference does on NCHW (ncsnpp_more.py:259-262, 387-390).
+
+Submodules are created in the reference's `all_modules` order and named
+`all_modules_{i}` so reference checkpoints convert by index
+(compat/torch_ckpt.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import blocks
+from .layers import default_init, get_timestep_embedding
+
+
+def _frame_reorder_in(x: jnp.ndarray, n_frames: int, channels: int) -> jnp.ndarray:
+    """(B,H,W,N*C) frame-major -> (B,H,W,C*N) channel-major."""
+    B, H, W, NC = x.shape
+    return (
+        x.reshape(B, H, W, n_frames, channels)
+        .transpose(0, 1, 2, 4, 3)
+        .reshape(B, H, W, NC)
+    )
+
+
+def _frame_reorder_out(x: jnp.ndarray, n_frames: int, channels: int) -> jnp.ndarray:
+    """(B,H,W,C*N) channel-major -> (B,H,W,N*C) frame-major."""
+    B, H, W, CN = x.shape
+    return (
+        x.reshape(B, H, W, channels, n_frames)
+        .transpose(0, 1, 2, 4, 3)
+        .reshape(B, H, W, CN)
+    )
+
+
+def _concat_channel_major(h: jnp.ndarray, prev: jnp.ndarray, n_frames: int):
+    """Concat two channel-major folded tensors along the TRUE channel axis
+    (reference: ncsnpp_more.py:344-354 / :676-685 — cat of (B,C,N,H,W) dim=1)."""
+    B, H, W, CN1 = h.shape
+    _, _, _, CN2 = prev.shape
+    h5 = h.reshape(B, H, W, CN1 // n_frames, n_frames)
+    p5 = prev.reshape(B, H, W, CN2 // n_frames, n_frames)
+    return jnp.concatenate([h5, p5], axis=3).reshape(B, H, W, CN1 + CN2)
+
+
+class NCSNpp(nn.Module):
+    """NCSN++ UNet. `spade=False` -> channel-concat conditioning
+    (reference NCSNpp); `spade=True` -> SPADE conditioning at every resblock
+    (reference SPADE_NCSNpp)."""
+
+    config: Any
+
+    @property
+    def spade(self) -> bool:
+        return bool(getattr(self.config.model, "spade", False))
+
+    def setup(self):
+        config = self.config
+        self.arch = getattr(config.model, "arch", "unetmore")
+        self.is3d = self.arch in ("unetmore3d", "unetmorepseudo3d")
+        self.pseudo3d = self.arch == "unetmorepseudo3d"
+        self.conv_mode = "pseudo3d" if self.pseudo3d else ("3d" if self.is3d else "2d")
+        self.act = jax.nn.silu
+
+        self.channels = channels = config.data.channels
+        self.num_frames = num_frames = config.data.num_frames
+        self.num_frames_cond = num_frames_cond = config.data.num_frames_cond + getattr(
+            config.data, "num_frames_future", 0
+        )
+        # concat variant processes cond+pred frames; SPADE only pred frames
+        # (reference: ncsnpp_more.py:48 vs :413)
+        self.n_frames = num_frames if self.spade else num_frames + num_frames_cond
+
+        ngf = config.model.ngf
+        self.nf = nf = ngf * self.n_frames if self.is3d else ngf
+        self.numf = numf = ngf * self.num_frames if self.is3d else ngf
+        ch_mult = config.model.ch_mult
+        self.num_res_blocks = num_res_blocks = config.model.num_res_blocks
+        self.attn_resolutions = attn_resolutions = config.model.attn_resolutions
+        dropout = getattr(config.model, "dropout", 0.0)
+        self.num_resolutions = num_resolutions = len(ch_mult)
+        self.all_resolutions = all_resolutions = [
+            config.data.image_size // (2**i) for i in range(num_resolutions)
+        ]
+        self.conditional = conditional = getattr(config.model, "time_conditional", True)
+        self.use_cond_emb = bool(getattr(config.model, "cond_emb", False))
+        fir_kernel = (1, 3, 3, 1)
+        init_scale = 0.0
+        n_head_channels = getattr(config.model, "n_head_channels", -1)
+        spade_dim = getattr(config.model, "spade_dim", 128)
+        cond_ch = num_frames_cond * channels
+        self.output_all_frames = bool(getattr(config.model, "output_all_frames", False))
+
+        modules: List[Any] = []
+        embed_dim = nf
+        temb_dim = None
+        if conditional:
+            modules.append(nn.Dense(nf * 4, kernel_init=default_init()))
+            modules.append(nn.Dense(nf * 4, kernel_init=default_init()))
+            temb_dim = nf * 4
+            if self.use_cond_emb:
+                modules.append(
+                    nn.Embed(2, nf // 2, embedding_init=nn.initializers.normal(1.0))
+                )
+                temb_dim += nf // 2
+        self.temb_dim = temb_dim
+
+        conv3x3_, conv1x1_ = blocks.make_convs(self.conv_mode, self.n_frames, self.act)
+        conv3x3_last, _ = blocks.make_convs(self.conv_mode, self.num_frames, self.act)
+
+        if self.is3d:
+            AttnBlockF = functools.partial(
+                blocks.AttnBlock3d,
+                init_scale=init_scale,
+                skip_rescale=True,
+                n_head_channels=n_head_channels,
+                act=None,
+            )
+            AttnDown = functools.partial(AttnBlockF, n_frames=self.n_frames)
+            AttnUp = functools.partial(
+                AttnBlockF, n_frames=self.num_frames if not self.spade else self.n_frames
+            )
+        else:
+            AttnDown = AttnUp = functools.partial(
+                blocks.AttnBlock,
+                init_scale=init_scale,
+                skip_rescale=True,
+                n_head_channels=n_head_channels,
+            )
+
+        resblock_kwargs = dict(
+            act=self.act,
+            dropout=dropout,
+            fir=True,
+            fir_kernel=fir_kernel,
+            init_scale=init_scale,
+            skip_rescale=True,
+            temb_dim=temb_dim,
+            conv_mode=self.conv_mode,
+            act3d=True,
+        )
+        if self.spade:
+            resblock_kwargs.update(
+                norm="spade",
+                num_frames_cond=num_frames_cond,
+                cond_ch=cond_ch,
+                spade_dim=spade_dim,
+            )
+        ResDown = functools.partial(
+            blocks.ResnetBlockBigGAN, n_frames=self.n_frames, **resblock_kwargs
+        )
+        ResUp = functools.partial(
+            blocks.ResnetBlockBigGAN,
+            n_frames=self.num_frames if not self.spade else self.n_frames,
+            **resblock_kwargs,
+        )
+
+        # ---- Downsampling
+        modules.append(conv3x3_(channels * self.n_frames, nf))
+        hs_c = [nf]
+        in_ch = nf
+        for i_level in range(num_resolutions):
+            for _ in range(num_res_blocks):
+                out_ch = nf * ch_mult[i_level]
+                modules.append(ResDown(in_ch=in_ch, out_ch=out_ch))
+                in_ch = out_ch
+                if all_resolutions[i_level] in attn_resolutions:
+                    modules.append(AttnDown(channels=in_ch))
+                hs_c.append(in_ch)
+            if i_level != num_resolutions - 1:
+                modules.append(ResDown(down=True, in_ch=in_ch))
+                hs_c.append(in_ch)
+
+        # ---- Middle
+        in_ch = hs_c[-1]
+        modules.append(ResDown(in_ch=in_ch))
+        modules.append(AttnDown(channels=in_ch))
+        if self.is3d and not self.spade:
+            modules.append(blocks.FrameConverter(self.n_frames, self.num_frames))
+            in_ch = int(in_ch * self.num_frames / self.n_frames)
+        modules.append(ResUp(in_ch=in_ch))
+
+        # ---- Upsampling
+        for i_level in reversed(range(num_resolutions)):
+            for _ in range(num_res_blocks + 1):
+                out_ch = numf * ch_mult[i_level] if not self.spade else nf * ch_mult[i_level]
+                if self.is3d and not self.spade:
+                    modules.append(blocks.FrameConverter(self.n_frames, self.num_frames))
+                    in_ch_old = int(hs_c.pop() * self.num_frames / self.n_frames)
+                else:
+                    in_ch_old = hs_c.pop()
+                modules.append(ResUp(in_ch=in_ch + in_ch_old, out_ch=out_ch))
+                in_ch = out_ch
+            if all_resolutions[i_level] in attn_resolutions:
+                modules.append(AttnUp(channels=in_ch))
+            if i_level != 0:
+                modules.append(ResUp(in_ch=in_ch, up=True))
+
+        assert not hs_c
+
+        # ---- Output head
+        out_frames = self.num_frames if not self.spade else self.n_frames
+        if self.spade:
+            _, conv1x1_cond = blocks.make_convs(self.conv_mode, channels, self.act)
+            modules.append(
+                blocks.ActNorm(
+                    act=self.act,
+                    norm="spade",
+                    ch=in_ch,
+                    is3d=self.is3d,
+                    n_frames=out_frames,
+                    num_frames_cond=num_frames_cond,
+                    cond_ch=cond_ch,
+                    spade_dim=spade_dim,
+                    conv3x3=conv3x3_,
+                    conv1x1_cond=conv1x1_cond,
+                )
+            )
+        else:
+            modules.append(
+                blocks.ActNorm(
+                    act=self.act,
+                    norm="group",
+                    ch=in_ch,
+                    is3d=self.is3d,
+                    n_frames=out_frames,
+                )
+            )
+        modules.append(conv3x3_last(in_ch, channels * self.num_frames, init_scale=init_scale))
+        self.all_modules = modules
+
+    def __call__(self, x, time_cond, cond=None, cond_mask=None, train: bool = False):
+        modules = self.all_modules
+        m_idx = 0
+        config = self.config
+        channels, num_frames = self.channels, self.num_frames
+
+        if cond is not None and not self.spade:
+            x = jnp.concatenate([x, cond], axis=-1)
+
+        if self.is3d:
+            # frame-major -> channel-major (reference: ncsnpp_more.py:259-262)
+            x = _frame_reorder_in(x, self.n_frames, channels)
+            if self.spade and cond is not None:
+                cond = _frame_reorder_in(cond, self.num_frames_cond, channels)
+
+        # time embedding
+        if self.conditional:
+            timesteps = time_cond
+            temb = get_timestep_embedding(timesteps, self.nf)
+            temb = modules[m_idx](temb)
+            m_idx += 1
+            temb = modules[m_idx](self.act(temb))
+            m_idx += 1
+            if self.use_cond_emb:
+                if cond_mask is None:
+                    cond_mask = jnp.ones(x.shape[0], dtype=jnp.int32)
+                temb = jnp.concatenate([temb, modules[m_idx](cond_mask)], axis=1)
+                m_idx += 1
+        else:
+            temb = None
+
+        spade_cond = cond if self.spade else None
+
+        def call_res(mod, h):
+            if self.spade:
+                return mod(h, temb, spade_cond, train=train)
+            return mod(h, temb, train=train)
+
+        # Down
+        hs = [modules[m_idx](x)]
+        m_idx += 1
+        for i_level in range(self.num_resolutions):
+            for _ in range(self.num_res_blocks):
+                h = call_res(modules[m_idx], hs[-1])
+                m_idx += 1
+                if self.all_resolutions[i_level] in self.attn_resolutions:
+                    h = modules[m_idx](h)
+                    m_idx += 1
+                hs.append(h)
+            if i_level != self.num_resolutions - 1:
+                h = call_res(modules[m_idx], hs[-1])
+                m_idx += 1
+                hs.append(h)
+
+        # Middle
+        h = hs[-1]
+        h = call_res(modules[m_idx], h)
+        m_idx += 1
+        h = modules[m_idx](h)
+        m_idx += 1
+        if self.is3d and not self.spade:
+            h = modules[m_idx](h)  # FrameConverter n_frames -> num_frames
+            m_idx += 1
+        h = call_res(modules[m_idx], h)
+        m_idx += 1
+
+        # Up
+        up_frames = self.num_frames if (self.is3d and not self.spade) else self.n_frames
+        for i_level in reversed(range(self.num_resolutions)):
+            for _ in range(self.num_res_blocks + 1):
+                if self.is3d and not self.spade:
+                    prev = modules[m_idx](hs.pop())  # converter on the skip
+                    m_idx += 1
+                    h_comb = _concat_channel_major(h, prev, self.num_frames)
+                elif self.is3d and self.spade:
+                    h_comb = _concat_channel_major(h, hs.pop(), self.n_frames)
+                else:
+                    h_comb = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = call_res(modules[m_idx], h_comb)
+                m_idx += 1
+            if self.all_resolutions[i_level] in self.attn_resolutions:
+                h = modules[m_idx](h)
+                m_idx += 1
+            if i_level != 0:
+                h = call_res(modules[m_idx], h)
+                m_idx += 1
+
+        assert not hs
+
+        # Output head
+        if self.spade:
+            h = modules[m_idx](h, None, spade_cond)
+        else:
+            h = modules[m_idx](h)
+        m_idx += 1
+        h = modules[m_idx](h)
+        m_idx += 1
+        assert m_idx == len(modules)
+
+        if self.output_all_frames and cond is not None and not self.spade:
+            # keep only non-cond frames (reference: ncsnpp_more.py:384-385)
+            h = h[..., self.num_frames_cond * channels :]
+
+        if self.is3d:
+            h = _frame_reorder_out(h, self.num_frames, channels)
+
+        return h
+
+
+class UNetMoreDDPM(nn.Module):
+    """DDPM wrapper (reference: ncsnpp_more.py:721-770). Schedule buffers live
+    in diffusion.DiffusionSchedule; `noise_in_cond` diffuses cond with the
+    same labels using an explicit rng."""
+
+    config: Any
+
+    def setup(self):
+        self.version = getattr(self.config.model, "version", "DDPM").upper()
+        assert self.version in ("DDPM", "DDIM", "FPNDM")
+        self.unet = NCSNpp(self.config)
+        self.noise_in_cond = bool(getattr(self.config.model, "noise_in_cond", False))
+
+    def __call__(
+        self,
+        x,
+        y,
+        cond=None,
+        cond_mask=None,
+        *,
+        sched=None,
+        rng=None,
+        train: bool = False,
+    ):
+        if self.noise_in_cond and cond is not None:
+            assert sched is not None and rng is not None, (
+                "noise_in_cond requires the schedule and an rng"
+            )
+            alphas = jnp.asarray(sched.alphas)
+            used = alphas[y].reshape(cond.shape[0], *([1] * (cond.ndim - 1)))
+            if getattr(self.config.model, "gamma", False):
+                k = jnp.asarray(sched.k_cum)[y].reshape(used.shape)
+                theta = jnp.asarray(sched.theta_t)[y].reshape(used.shape)
+                g = jax.random.gamma(rng, jnp.broadcast_to(k, cond.shape)) * theta
+                z = (g - k * theta) / jnp.sqrt(1.0 - used)
+            else:
+                z = jax.random.normal(rng, cond.shape, dtype=cond.dtype)
+            cond = jnp.sqrt(used) * cond + jnp.sqrt(1.0 - used) * z
+        return self.unet(x, y, cond, cond_mask, train=train)

@@ -1,0 +1,105 @@
+"""Shape/finiteness smoke tests for every model family
+(reference coverage: ncsnpp_more.py NCSNpp/SPADE_NCSNpp 2d/3d/pseudo3d,
+models/unet.py legacy UNet)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcvd_tpu.config import dict2namespace
+from mcvd_tpu.models import get_model
+
+
+def make_config(arch="unetmore", spade=False, cond_emb=False, version="DDPM",
+                num_frames=2, num_frames_cond=2, num_frames_future=0,
+                image_size=16, ngf=16, channels=1):
+    return dict2namespace(
+        {
+            "data": {
+                "channels": channels,
+                "image_size": image_size,
+                "num_frames": num_frames,
+                "num_frames_cond": num_frames_cond,
+                "num_frames_future": num_frames_future,
+                "logit_transform": False,
+                "rescaled": True,
+            },
+            "model": {
+                "arch": arch,
+                "version": version,
+                "spade": spade,
+                "spade_dim": 32,
+                "cond_emb": cond_emb,
+                "time_conditional": True,
+                "dropout": 0.1,
+                "sigma_dist": "linear",
+                "sigma_begin": 0.02,
+                "sigma_end": 0.0001,
+                "num_classes": 20,
+                "ngf": ngf,
+                "ch_mult": [1, 2],
+                "num_res_blocks": 1,
+                "attn_resolutions": [8],
+                "n_head_channels": 8,
+                "conditional": True,
+                "noise_in_cond": False,
+                "output_all_frames": False,
+                "gamma": False,
+                "ema": True,
+                "ema_rate": 0.999,
+            },
+        }
+    )
+
+
+def run_forward(config, B=2):
+    model = get_model(config)
+    C = config.data.channels
+    F = config.data.num_frames
+    Fc = config.data.num_frames_cond + config.data.num_frames_future
+    sz = config.data.image_size
+    x = jnp.asarray(np.random.RandomState(0).randn(B, sz, sz, F * C), jnp.float32)
+    cond = jnp.asarray(np.random.RandomState(1).randn(B, sz, sz, Fc * C), jnp.float32)
+    y = jnp.array([3, 7], dtype=jnp.int32)
+    cond_mask = jnp.array([1, 0], dtype=jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, y, cond, cond_mask)
+    out = jax.jit(model.apply)(params, x, y, cond, cond_mask)
+    assert out.shape == (B, sz, sz, F * C), out.shape
+    assert bool(jnp.isfinite(out).all())
+    return params, out
+
+
+@pytest.mark.parametrize(
+    "arch,spade",
+    [
+        ("unetmore", False),
+        ("unetmore", True),
+        ("unetmore3d", False),
+        ("unetmore3d", True),
+        ("unetmorepseudo3d", False),
+        ("unetmorepseudo3d", True),
+    ],
+)
+def test_ncsnpp_variants(arch, spade):
+    run_forward(make_config(arch=arch, spade=spade))
+
+
+def test_cond_emb():
+    run_forward(make_config(cond_emb=True))
+
+
+def test_future_frames():
+    run_forward(make_config(num_frames_future=1))
+
+
+def test_legacy_unet():
+    config = make_config(arch="unet", image_size=16, ngf=32)
+    run_forward(config)
+
+
+def test_init_scale_zero_output():
+    """Final conv is zero-init (init_scale=0 -> 1e-10): output ~ 0 at init."""
+    config = make_config()
+    _, out = run_forward(config)
+    assert float(jnp.abs(out).max()) < 1e-4
