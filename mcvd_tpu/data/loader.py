@@ -1,0 +1,102 @@
+"""Batch loader: shuffled epoch iteration, per-host sharding, device prefetch.
+
+TPU-native replacement for the reference's torch DataLoader
+(ncsn_runner.py:251-259): numpy batches are assembled on host, sharded over
+the data mesh axis with jax.device_put, and prefetched one step ahead so host
+synthesis overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import queue as queue_mod
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class DataLoader:
+    """Map-style dataset -> shuffled numpy batches (drop_last=False)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False, num_processes: int = 1, process_index: int = 0,
+                 repeat: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_processes = num_processes
+        self.process_index = process_index
+        self.repeat = repeat
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.num_processes
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, self._epoch]))
+            rng.shuffle(idx)
+        # per-host shard (reference has no multi-host; this is the
+        # jax.process_index() analog of per-worker sharding)
+        return idx[self.process_index :: self.num_processes]
+
+    def __iter__(self) -> Iterator:
+        while True:
+            if hasattr(self.dataset, "set_epoch"):
+                self.dataset.set_epoch(self._epoch)
+            idx = self._epoch_indices()
+            for i in range(0, len(idx), self.batch_size):
+                chunk = idx[i : i + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    break
+                items = [self.dataset[int(j)] for j in chunk]
+                if isinstance(items[0], tuple):
+                    xs = np.stack([it[0] for it in items])
+                    ys = np.asarray([it[1] for it in items])
+                    yield xs, ys
+                else:
+                    yield np.stack(items), None
+            self._epoch += 1
+            if not self.repeat:
+                return
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Overlap host batch assembly with device compute.
+
+    The producer thread only assembles numpy batches; device placement stays
+    on the consumer thread (device_put from a background thread can deadlock
+    against main-thread compilation on the axon TPU backend). With a
+    sharding, the batch is placed directly into the sharded layout."""
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if sharding is not None:
+            item = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding) if x is not None else None,
+                item,
+                is_leaf=lambda x: x is None or isinstance(x, np.ndarray),
+            )
+        yield item

@@ -8,12 +8,16 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the ambient env pins the real TPU (axon)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402  (after env setup, before any test imports)
+
+# The env var alone does not win over the preset axon platform here; the
+# config does.
+jax.config.update("jax_platforms", "cpu")
 
 # Numerical-parity tests compare against float32 torch oracles; the backend's
 # default matmul/conv precision is bf16-class, so pin full precision here.

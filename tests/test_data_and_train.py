@@ -1,0 +1,177 @@
+"""Conditioning semantics, data pipeline, and the pjit train step on the
+8-device virtual mesh (the reference's 'multi-GPU without a cluster' analog,
+SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcvd_tpu.config import dict2namespace
+from mcvd_tpu.data import (
+    DataLoader,
+    StochasticMovingMNIST,
+    conditioning_fn,
+    data_transform,
+    fold_frames,
+    get_mode,
+    inverse_data_transform,
+    unfold_frames,
+)
+from mcvd_tpu.diffusion import make_schedule
+from mcvd_tpu.models import get_model
+from mcvd_tpu.parallel import make_mesh, data_sharding, replicated_sharding
+from mcvd_tpu.train import create_train_state, make_train_step, make_eval_loss_step, checkpoints
+
+
+def make_config(**kw):
+    d = {
+        "data": {
+            "channels": 1, "image_size": 16, "num_frames": 2, "num_frames_cond": 2,
+            "num_frames_future": kw.get("future", 0), "logit_transform": False,
+            "rescaled": True, "prob_mask_cond": kw.get("pmc", 0.0),
+            "prob_mask_future": kw.get("pmf", 0.0), "prob_mask_sync": kw.get("sync", False),
+            "dataset": "StochasticMovingMNIST", "step_length": 0.1, "random_flip": True,
+            "num_digits": 2, "num_workers": 0,
+        },
+        "model": {
+            "arch": "unetmore", "version": "DDPM", "spade": False,
+            "cond_emb": kw.get("cond_emb", False), "time_conditional": True,
+            "dropout": 0.1, "sigma_dist": "linear", "sigma_begin": 0.02,
+            "sigma_end": 0.0001, "num_classes": 20, "ngf": 16, "ch_mult": [1, 2],
+            "num_res_blocks": 1, "attn_resolutions": [8], "n_head_channels": 8,
+            "conditional": True, "noise_in_cond": False, "output_all_frames": False,
+            "gamma": False, "ema": True, "ema_rate": 0.9,
+        },
+        "training": {"L1": False, "batch_size": 16, "n_epochs": 1, "n_iters": 3,
+                     "snapshot_freq": 100, "log_freq": 1},
+        "sampling": {"ssim": True, "fvd": False, "subsample": 5, "num_frames_pred": 4,
+                     "preds_per_test": 1, "clip_before": True},
+        "optim": {"weight_decay": 0.0, "optimizer": "Adam", "lr": 1e-3, "warmup": 2,
+                  "beta1": 0.9, "amsgrad": False, "eps": 1e-8, "grad_clip": 1.0},
+    }
+    return dict2namespace(d)
+
+
+def test_fold_unfold_roundtrip():
+    X = np.random.RandomState(0).randn(2, 4, 8, 8, 3).astype(np.float32)
+    folded = fold_frames(jnp.asarray(X))
+    assert folded.shape == (2, 8, 8, 12)
+    back = unfold_frames(folded, 4)
+    np.testing.assert_allclose(np.asarray(back), X)
+    # frame-major ordering: frame f lives at channels [f*C:(f+1)*C]
+    np.testing.assert_allclose(np.asarray(folded[..., 3:6]), X[:, 1].transpose(0, 2, 3, 1) if False else X[:, 1])
+
+
+def test_conditioning_shapes_and_masks():
+    config = make_config(pmc=1.0, future=1, pmf=1.0)
+    X = jnp.asarray(np.random.RandomState(0).rand(4, 5, 16, 16, 1).astype(np.float32))
+    pred, cond, cond_mask = conditioning_fn(
+        config, X, key=jax.random.PRNGKey(0), num_frames_pred=2,
+        prob_mask_cond=1.0, prob_mask_future=1.0,
+    )
+    assert pred.shape == (4, 16, 16, 2)
+    assert cond.shape == (4, 16, 16, 3)  # 2 past + 1 future
+    # prob 1.0 -> all masked to zero
+    assert float(jnp.abs(cond).max()) == 0.0
+    assert cond_mask.shape == (4,) and int(cond_mask.sum()) == 0
+
+    # prob 0: nothing masked, no mask returned
+    pred, cond, cond_mask = conditioning_fn(
+        config, X, key=jax.random.PRNGKey(0), num_frames_pred=2,
+        prob_mask_cond=0.0, prob_mask_future=0.0,
+    )
+    assert cond_mask is None
+    np.testing.assert_allclose(np.asarray(cond[..., :2]), np.asarray(fold_frames(X[:, :2])))
+    np.testing.assert_allclose(np.asarray(cond[..., 2:]), np.asarray(fold_frames(X[:, 4:5])))
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(fold_frames(X[:, 2:4])))
+
+
+def test_get_mode_taxonomy():
+    # (condp, futrf, futrp, sync) -> (pred, interp, gen); reference ncsn_runner.py:207-227
+    cases = [
+        (dict(), ("one", None, None)),
+        (dict(future=2), (None, "one", None)),
+        (dict(future=2, pmf=0.5), ("two", "one", None)),
+        (dict(pmc=0.5), ("one", None, "three")),
+        (dict(pmc=0.5, future=2, pmf=0.5), ("two", "one", "three")),
+        (dict(pmc=0.5, future=2, pmf=0.5, sync=True), (None, "one", "three")),
+    ]
+    for kw, expected in cases:
+        assert get_mode(make_config(**kw)) == expected, kw
+
+
+def test_transforms_roundtrip():
+    config = make_config()
+    X = jnp.asarray(np.random.RandomState(0).rand(2, 3, 4, 4, 1).astype(np.float32))
+    Y = data_transform(config, X)
+    assert float(Y.min()) >= -1.0 and float(Y.max()) <= 1.0
+    back = inverse_data_transform(config, Y)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(X), atol=1e-6)
+
+
+def test_smmnist_and_loader():
+    ds = StochasticMovingMNIST("/nonexistent", train=True, seq_len=5, num_digits=2,
+                               image_size=64, total_videos=16, synthetic_ok=True)
+    x, _ = ds[0]
+    assert x.shape == (5, 64, 64, 1)
+    assert x.min() >= 0.0 and x.max() <= 1.0
+    # determinism per (seed, epoch, index)
+    x2, _ = ds[0]
+    np.testing.assert_allclose(x, x2)
+    ds.set_epoch(1)
+    x3, _ = ds[0]
+    assert np.abs(x3 - x).max() > 0  # different epoch -> different sample
+
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == (len(ds) + 3) // 4
+    xb, yb = batches[0]
+    assert xb.shape == (4, 5, 64, 64, 1)
+
+
+def test_train_step_on_mesh():
+    config = make_config()
+    mesh = make_mesh(axis_names=("data",))
+    assert mesh.devices.size == 8
+    model = get_model(config)
+    sched = make_schedule(config)
+
+    B, T = 16, 4  # cond 2 + pred 2
+    X = np.random.RandomState(0).rand(B, T, 16, 16, 1).astype(np.float32)
+    x0 = jnp.zeros((B, 16, 16, 2))
+    cond0 = jnp.zeros((B, 16, 16, 2))
+    y0 = jnp.zeros((B,), jnp.int32)
+    state = create_train_state(config, model, (x0, y0, cond0), jax.random.PRNGKey(0))
+
+    step = make_train_step(model, sched, config, mesh=mesh, donate=False)
+    Xd = jax.device_put(jnp.asarray(X), data_sharding(mesh))
+    state1, m1 = step(state, Xd, jax.random.PRNGKey(1))
+    state2, m2 = step(state1, Xd, jax.random.PRNGKey(2))
+    assert int(state2.step) == 2
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["grad_norm"]))
+    # EMA moved toward params
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    e2 = jax.tree_util.tree_leaves(state2.ema_params)[0]
+    p2 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert float(jnp.abs(e2 - p2).max()) > 0  # not equal to params
+    assert float(jnp.abs(e2 - p0).max()) > 0  # moved from init
+
+    # eval loss runs on ema params
+    eval_step = make_eval_loss_step(model, sched, config, mesh=mesh)
+    val = eval_step(state2.ema_params, Xd, jax.random.PRNGKey(3))
+    assert np.isfinite(float(val))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    config = make_config()
+    model = get_model(config)
+    x0 = jnp.zeros((2, 16, 16, 2)); cond0 = jnp.zeros((2, 16, 16, 2))
+    y0 = jnp.zeros((2,), jnp.int32)
+    state = create_train_state(config, model, (x0, y0, cond0), jax.random.PRNGKey(0))
+    path = checkpoints.save_checkpoint(str(tmp_path), state)
+    restored = checkpoints.load_checkpoint(str(tmp_path), target=state)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == 0
