@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""CLI entry point — same public surface as the reference (main.py:20-70):
+
+    python main.py --config configs/smmnist_DDPM_big5.yml --data_path DATA \\
+        --exp EXP [--train|--video_gen|--sample|--test|--fast_fid] \\
+        [--config_mod sampling.subsample=100 model.ngf=64 ...]
+
+Config YAML -> nested namespace; `--config_mod section.key=value` typed
+overrides; experiment dirs with config snapshots.
+"""
+
+import argparse
+import logging
+import os
+import shutil
+import sys
+import traceback
+
+import yaml
+
+from mcvd_tpu.config import (
+    apply_config_mods,
+    clone_config,
+    dict2namespace,
+    namespace2dict,
+    save_config,
+    validate_config,
+)
+
+
+def parse_args_and_config():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", type=str, required=True, help="Path to the config file")
+    parser.add_argument("--data_path", type=str, default="datasets", help="Path to the dataset")
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--exp", type=str, default="exp", help="Experiment directory")
+    parser.add_argument("--comment", type=str, default="")
+    parser.add_argument("--verbose", type=str, default="info")
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--sample", action="store_true")
+    parser.add_argument("--video_gen", action="store_true")
+    parser.add_argument("--fast_fid", action="store_true")
+    parser.add_argument("--resume_training", action="store_true")
+    parser.add_argument("-i", "--image_folder", type=str, default="images")
+    parser.add_argument("-v", "--video_folder", type=str, default="videos")
+    parser.add_argument("--ckpt", type=int, default=None)
+    parser.add_argument("--start_at", type=int, default=0)
+    parser.add_argument("--ni", action="store_true", help="No interaction")
+    parser.add_argument("--config_mod", nargs="*", default=[],
+                        help="Overrides: section.key=value ...")
+    args = parser.parse_args()
+
+    with open(args.config, "r") as f:
+        config = dict2namespace(yaml.safe_load(f))
+    config = apply_config_mods(config, args.config_mod)
+    config = validate_config(config)
+
+    args.log_path = os.path.join(args.exp, "logs")
+    os.makedirs(args.log_path, exist_ok=True)
+    args.image_folder = os.path.join(args.exp, "image_samples", args.image_folder)
+    args.video_folder = os.path.join(args.exp, "video_samples", args.video_folder)
+
+    # snapshot config + args next to logs (reference: main.py:156-160)
+    save_config(config, os.path.join(args.log_path, "config.yml"))
+    with open(os.path.join(args.log_path, "args.yml"), "w") as f:
+        yaml.safe_dump({k: v for k, v in vars(args).items() if isinstance(v, (str, int, float, bool, list))}, f)
+
+    level = getattr(logging, args.verbose.upper(), logging.INFO)
+    handlers = [logging.StreamHandler(), logging.FileHandler(os.path.join(args.log_path, "stdout.txt"))]
+    logging.basicConfig(
+        level=level,
+        format="%(levelname)s - %(filename)s - %(asctime)s - %(message)s",
+        handlers=handlers,
+    )
+    return args, config
+
+
+def main():
+    args, config = parse_args_and_config()
+    logging.info("args: %s", {k: v for k, v in vars(args).items()})
+
+    from mcvd_tpu.utils import setup_jax
+
+    setup_jax()
+    from mcvd_tpu.runners import Runner
+
+    try:
+        runner = Runner(args, config, clone_config(config))
+        if args.video_gen:
+            runner.video_gen(ckpt=args.ckpt)
+        elif args.sample:
+            runner.sample(ckpt=args.ckpt)
+        elif args.test:
+            runner.test()
+        elif args.fast_fid:
+            runner.fast_fid()
+        else:
+            runner.train()
+    except Exception:
+        logging.error(traceback.format_exc())
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -113,6 +113,7 @@ def ddpm_sampler(
     gamma: bool = False,
     same_noise: bool = False,
     noise_val: Optional[jnp.ndarray] = None,
+    **_: object,
 ) -> jnp.ndarray:
     """DDPM ancestral sampler (reference: models/__init__.py:206-340).
 

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Generate the dataset config YAMLs.
+
+Values mirror the reference experiment grid (reference: configs/*.yml) so
+converted checkpoints and published protocols line up; the file layout is
+ours (sorted keys, one generator). Run: python tools/gen_configs.py
+"""
+
+import copy
+import os
+
+import yaml
+
+BASE = {
+    "training": {
+        "L1": False, "batch_size": 64, "n_epochs": 1000000, "n_iters": 3000001,
+        "snapshot_freq": 50000, "snapshot_sampling": True, "sample_freq": 50000,
+        "val_freq": 100, "log_freq": 50, "log_all_sigmas": False,
+        "checkpoint_freq": 1000,
+    },
+    "sampling": {
+        "batch_size": 100, "data_init": False, "ckpt_id": 0, "final_only": True,
+        "fid": False, "ssim": True, "fvd": True, "denoise": True,
+        "subsample": 1000, "num_samples4fid": 10000, "num_samples4fvd": 10000,
+        "inpainting": False, "interpolation": False, "n_interpolations": 15,
+        "consistent": True, "step_lr": 0.0, "n_steps_each": 0, "train": False,
+        "num_frames_pred": 20, "clip_before": True, "max_data_iter": 100000,
+        "init_prev_t": -1.0, "one_frame_at_a_time": False, "preds_per_test": 1,
+    },
+    "fast_fid": {
+        "batch_size": 1000, "num_samples": 1000, "begin_ckpt": 5000,
+        "freq": 5000, "end_ckpt": 300000, "pr_nn_k": 3, "verbose": False,
+        "ensemble": False, "step_lr": 0.0, "n_steps_each": 0,
+    },
+    "test": {"begin_ckpt": 5000, "end_ckpt": 300000, "batch_size": 100},
+    "data": {
+        "dataset": "StochasticMovingMNIST", "image_size": 64, "channels": 1,
+        "logit_transform": False, "uniform_dequantization": False,
+        "gaussian_dequantization": False, "random_flip": True, "rescaled": True,
+        "num_workers": 0, "num_digits": 2, "step_length": 0.1, "num_frames": 5,
+        "num_frames_cond": 5, "num_frames_future": 0, "prob_mask_cond": 0.0,
+        "prob_mask_future": 0.0, "prob_mask_sync": False,
+    },
+    "model": {
+        "depth": "deep", "version": "DDPM", "gamma": False, "arch": "unetmore",
+        "type": "v1", "time_conditional": True, "dropout": 0.1,
+        "sigma_dist": "linear", "sigma_begin": 0.02, "sigma_end": 0.0001,
+        "num_classes": 1000, "ema": True, "ema_rate": 0.999, "spec_norm": False,
+        "normalization": "InstanceNorm++", "nonlinearity": "swish", "ngf": 64,
+        "ch_mult": [1, 2, 3, 4], "num_res_blocks": 2,
+        "attn_resolutions": [8, 16, 32], "n_head_channels": 64,
+        "conditional": True, "noise_in_cond": False, "output_all_frames": False,
+        "cond_emb": False, "spade": False, "spade_dim": 128,
+    },
+    "optim": {
+        "weight_decay": 0.0, "optimizer": "Adam", "lr": 0.0002, "warmup": 1000,
+        "beta1": 0.9, "amsgrad": False, "eps": 1e-08, "grad_clip": 1.0,
+    },
+}
+
+
+def deep_update(d, u):
+    for k, v in u.items():
+        if isinstance(v, dict):
+            d[k] = deep_update(d.get(k, {}), v)
+        else:
+            d[k] = v
+    return d
+
+
+BIG = {  # shared "big" video-model settings (kth/bair grid)
+    "training": {"val_freq": 1000, "log_freq": 100},
+    "sampling": {"subsample": 100, "num_frames_pred": 28},
+    "model": {"depth": "deeper", "ngf": 96, "n_head_channels": 96},
+    "optim": {"lr": 0.0001, "warmup": 5000},
+}
+
+CONFIGS = {
+    "smmnist_DDPM_big5": {},
+    "smmnist_DDPM_big5_spade": {"model": {"spade": True}},
+    "smmnist_DDPM_small5": {
+        "data": {"num_frames": 2},
+        "model": {"arch": "unet", "ngf": 32, "ch_mult": [1, 2, 2, 2],
+                  "num_res_blocks": 1},
+    },
+    "smmnist_DDPM_small5_3d": {
+        "data": {"num_frames": 2},
+        "model": {"arch": "unetmore3d", "ngf": 12, "ch_mult": [1, 1, 2, 2, 2],
+                  "num_res_blocks": 1, "attn_resolutions": [16],
+                  "n_head_channels": -1},
+    },
+    "kth64_big": deep_update(copy.deepcopy(BIG), {
+        "training": {},
+        "sampling": {"num_frames_pred": 20},
+        "data": {"dataset": "KTH", "num_frames_cond": 10},
+    }),
+    "kth64_big_spade": deep_update(copy.deepcopy(BIG), {
+        "sampling": {"num_frames_pred": 20},
+        "data": {"dataset": "KTH", "num_frames_cond": 10},
+        "model": {"spade": True},
+    }),
+    "bair_big": deep_update(copy.deepcopy(BIG), {
+        "data": {"dataset": "BAIR", "channels": 3, "color_jitter": 0.0,
+                 "test_subset": -1, "num_frames_cond": 2},
+    }),
+    "bair_big_spade": deep_update(copy.deepcopy(BIG), {
+        "data": {"dataset": "BAIR", "channels": 3, "color_jitter": 0.0,
+                 "test_subset": -1, "num_frames_cond": 2},
+        "model": {"spade": True},
+    }),
+    "bair": deep_update(copy.deepcopy(BIG), {
+        "training": {"batch_size": 32},
+        "data": {"dataset": "BAIR", "channels": 3, "color_jitter": 0.2,
+                 "num_frames": 10, "num_frames_cond": 2},
+        "model": {"ngf": 32, "ch_mult": [1, 2, 2, 2], "num_res_blocks": 3,
+                  "n_head_channels": 64},
+    }),
+    "cityscapes_big": deep_update(copy.deepcopy(BIG), {
+        "data": {"dataset": "Cityscapes", "image_size": 128, "channels": 3,
+                 "color_jitter": 0.0, "num_frames_cond": 2},
+        "model": {"dropout": 0.0, "ngf": 128, "ch_mult": [1, 1, 2, 3, 4],
+                  "n_head_channels": 128},
+    }),
+    "cityscapes_big_spade": deep_update(copy.deepcopy(BIG), {
+        "training": {"batch_size": 32},
+        "data": {"dataset": "Cityscapes", "image_size": 128, "channels": 3,
+                 "color_jitter": 0.0, "num_frames_cond": 2},
+        "model": {"dropout": 0.0, "ngf": 192, "ch_mult": [1, 1, 2, 3, 4],
+                  "n_head_channels": 192, "spade": True, "spade_dim": 256},
+    }),
+    "ucf101": deep_update(copy.deepcopy(BIG), {
+        "data": {"dataset": "UCF101", "channels": 3, "color_jitter": 0.0,
+                 "num_workers": 4, "num_frames": 4, "num_frames_cond": 4},
+        "model": {"ngf": 192},
+    }),
+}
+
+
+def main():
+    out_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    os.makedirs(out_dir, exist_ok=True)
+    for name, delta in CONFIGS.items():
+        cfg = deep_update(copy.deepcopy(BASE), delta)
+        path = os.path.join(out_dir, f"{name}.yml")
+        with open(path, "w") as f:
+            f.write(f"# {name} — generated by tools/gen_configs.py; values mirror\n")
+            f.write("# the reference experiment grid for protocol parity.\n")
+            yaml.safe_dump(cfg, f, sort_keys=True, default_flow_style=None)
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
