@@ -50,25 +50,19 @@ def nearest_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-class Conv2dSame(nn.Module):
-    """3x3/1x1 DDPM-init conv (reference: layers.py:89-118)."""
-
-    out_ch: int
-    kernel: int = 3
-    init_scale: float = 1.0
-    stride: int = 1
-    bias: bool = True
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.Conv(
-            self.out_ch,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(self.kernel // 2, self.kernel // 2)] * 2,
-            use_bias=self.bias,
-            kernel_init=default_init(self.init_scale),
-        )(x)
+def Conv2dSame(out_ch: int, kernel: int = 3, init_scale: float = 1.0,
+               stride: int = 1, bias: bool = True, name: Optional[str] = None):
+    """3x3/1x1 DDPM-init conv (reference: layers.py:89-118). A plain nn.Conv
+    so flax param paths mirror torch attribute paths (compat/torch_ckpt.py)."""
+    return nn.Conv(
+        out_ch,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(kernel // 2, kernel // 2)] * 2,
+        use_bias=bias,
+        kernel_init=default_init(init_scale),
+        name=name,
+    )
 
 
 class Conv3dFolded(nn.Module):

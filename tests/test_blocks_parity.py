@@ -210,10 +210,10 @@ def test_biggan_resblock_matches_torch(up, down, in_ch, out_ch):
     oracle = TorchBigGANResBlockOracle(in_ch, out_ch, temb_dim, up, down)
     _copy_dense(oracle.dense0, p["actnorm0"]["Dense_0"])
     _copy_dense(oracle.dense1, p["actnorm1"]["Dense_0"])
-    _copy_conv(oracle.conv0, p["Conv_0"]["Conv_0"])
-    _copy_conv(oracle.conv1, p["Conv_1"]["Conv_0"])
+    _copy_conv(oracle.conv0, p["Conv_0"])
+    _copy_conv(oracle.conv1, p["Conv_1"])
     if in_ch != out_ch or up or down:
-        _copy_conv(oracle.conv2, p["Conv_2"]["Conv_0"])
+        _copy_conv(oracle.conv2, p["Conv_2"])
     with torch.no_grad():
         ref = oracle(x, temb_t)
 
@@ -254,9 +254,9 @@ def test_myspade_2d_matches_torch():
     p = params["params"]
 
     oracle = TorchSPADEOracle(norm_nc, label_nc, spade_dim)
-    _copy_conv(oracle.mlp_shared, p["mlp_shared"]["Conv_0"])
-    _copy_conv(oracle.mlp_gamma, p["mlp_gamma"]["Conv_0"])
-    _copy_conv(oracle.mlp_beta, p["mlp_beta"]["Conv_0"])
+    _copy_conv(oracle.mlp_shared, p["mlp_shared"])
+    _copy_conv(oracle.mlp_gamma, p["mlp_gamma"])
+    _copy_conv(oracle.mlp_beta, p["mlp_beta"])
     with torch.no_grad():
         ref = oracle(x, seg)
 
