@@ -28,6 +28,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mcvd_tpu import ops
+
+    # fused attention kernel: +10% end-to-end on the sampling block (TPU only)
+    ops.set_use_pallas(jax.default_backend() != "cpu")
+
     from __graft_entry__ import _flagship_config
     from mcvd_tpu.diffusion import make_schedule
     from mcvd_tpu.eval.video_gen import autoregressive_predict, init_noise, make_block_sampler
@@ -54,9 +59,12 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x, y, cond)
     params = params["params"]
 
-    # model FLOPs for the analytic A100 anchor
+    # model FLOPs for the analytic A100 anchor (XLA path: pallas kernel flops
+    # are invisible to cost_analysis and would understate the anchor)
+    ops.set_use_pallas(False)
     fwd = jax.jit(lambda p, x, y, c: model.apply({"params": p}, x, y, c))
     flops_fwd = fwd.lower(params, x, y, cond).compile().cost_analysis()["flops"]
+    ops.set_use_pallas(jax.default_backend() != "cpu")
 
     block_sampler = make_block_sampler(config, model, sched)
 

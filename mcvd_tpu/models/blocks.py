@@ -264,9 +264,23 @@ class AttnBlock(nn.Module):
         k = k.reshape(B, tokens, n_heads, hd)
         v = v.reshape(B, tokens, n_heads, hd)
 
-        w = jnp.einsum("bqhc,bkhc->bhqk", q, k) * (hd ** -0.5)
-        w = jax.nn.softmax(w, axis=-1)
-        h = jnp.einsum("bhqk,bkhc->bqhc", w, v).reshape(shape)
+        from .. import ops as _ops
+
+        if _ops.use_pallas():
+            # fused single-block attention kernel (ops/attention.py)
+            qh = q.transpose(0, 2, 1, 3).reshape(B * n_heads, tokens, hd)
+            kh = k.transpose(0, 2, 1, 3).reshape(B * n_heads, tokens, hd)
+            vh = v.transpose(0, 2, 1, 3).reshape(B * n_heads, tokens, hd)
+            oh = _ops.attention.fused_attention(qh, kh, vh, hd ** -0.5)
+            h = (
+                oh.reshape(B, n_heads, tokens, hd)
+                .transpose(0, 2, 1, 3)
+                .reshape(shape)
+            )
+        else:
+            w = jnp.einsum("bqhc,bkhc->bhqk", q, k) * (hd ** -0.5)
+            w = jax.nn.softmax(w, axis=-1)
+            h = jnp.einsum("bhqk,bkhc->bqhc", w, v).reshape(shape)
         h = NIN(C, init_scale=self.init_scale, name="NIN_3")(h)
         if not self.skip_rescale:
             return x + h

@@ -1,0 +1,87 @@
+"""Pallas kernel equivalence vs lax references (interpret mode on CPU) —
+the analog of the reference's CUDA-vs-CPU dual implementations
+(models/better/op/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcvd_tpu.models.layers import group_norm, num_groups_for
+from mcvd_tpu.models.resample import setup_kernel, upfirdn2d
+from mcvd_tpu.ops.attention import attention_reference, fused_attention
+from mcvd_tpu.ops.fused_act import fused_leaky_relu, fused_leaky_relu_reference
+from mcvd_tpu.ops.groupnorm import fused_group_norm
+from mcvd_tpu.ops.upfirdn import upfirdn2d_up2, upsample_2d_fast
+
+
+def test_fused_group_norm_matches_reference():
+    rng = np.random.RandomState(0)
+    for C, N in [(32, 1), (24, 1), (16, 2)]:
+        B, H, W = 2, 8, 8
+        CN = C * N
+        x = jnp.asarray(rng.randn(B, H, W, CN).astype(np.float32))
+        g = num_groups_for(C)
+        gamma = jnp.asarray(rng.randn(C).astype(np.float32))
+        beta = jnp.asarray(rng.randn(C).astype(np.float32))
+        ref = group_norm(x, g, eps=1e-5, gamma=gamma, beta=beta, frames_last=N)
+        got = fused_group_norm(x, g, eps=1e-5, gamma=gamma, beta=beta,
+                               frames_last=N, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_group_norm_adagn_silu():
+    rng = np.random.RandomState(1)
+    B, H, W, C = 2, 8, 8, 32
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    scale = jnp.asarray(rng.randn(B, C).astype(np.float32))
+    shift = jnp.asarray(rng.randn(B, C).astype(np.float32))
+    g = num_groups_for(C)
+    ref = group_norm(x, g, eps=1e-5)
+    ref = ref * (1 + scale[:, None, None, :]) + shift[:, None, None, :]
+    ref = jax.nn.silu(ref)
+    got = fused_group_norm(x, g, eps=1e-5, scale=scale, shift=shift, act=True,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_attention_matches_reference():
+    rng = np.random.RandomState(2)
+    BH, T, D = 4, 64, 16
+    q = jnp.asarray(rng.randn(BH, T, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(BH, T, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(BH, T, D).astype(np.float32))
+    scale = D ** -0.5
+    ref = attention_reference(q, k, v, scale)
+    got = fused_attention(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_leaky_relu_matches_reference():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    ref = fused_leaky_relu_reference(x, b)
+    got = fused_leaky_relu(x, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_polyphase_upfirdn_up2_matches_lax():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
+    k = jnp.asarray(setup_kernel([1.0, 3.0, 3.0, 1.0]) * 4.0)
+    for pad in [(2, 1), (1, 1), (3, 2)]:
+        ref = upfirdn2d(x, k, up=2, pad=pad)
+        got = upfirdn2d_up2(x, k, pad=pad)
+        assert got.shape == ref.shape, (got.shape, ref.shape, pad)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_2d_fast_matches_model_path():
+    from mcvd_tpu.models.resample import upsample_2d
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    ref = upsample_2d(x, [1.0, 3.0, 3.0, 1.0], factor=2)
+    got = upsample_2d_fast(x, [1.0, 3.0, 3.0, 1.0], factor=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
