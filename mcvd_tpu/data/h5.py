@@ -120,9 +120,12 @@ class HDF5Maker:
         self.shard_paths.append(self.shard_p)
         self.writer = h5py.File(self.shard_p, "w")
         if self.video:
-            self.writer.create_group("len")
-            self.writer.create_group("videos")
+            self.create_video_groups()
         self.count = 0
+
+    def create_video_groups(self):
+        self.writer.create_group("len")
+        self.writer.create_group("videos")
 
     def add_video_data(self, data, dtype=None):
         self.writer["len"].create_dataset(str(self.count), data=len(data))

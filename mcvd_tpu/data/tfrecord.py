@@ -1,0 +1,125 @@
+"""Minimal pure-python TFRecord + tf.Example reader (no TensorFlow).
+
+The BAIR dataset ships as TFRecords of tf.Example protos (reference:
+datasets/bair_convert.py uses tensorflow to read them); this module parses
+the TFRecord framing (length-prefixed records with CRC fields) and the tiny
+subset of the protobuf wire format needed for Example's
+features{ map<string, Feature{bytes_list|float_list|int64_list}> }.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Iterator, List, Union
+
+FeatureValue = Union[List[bytes], List[float], List[int]]
+
+
+def _read_varint(buf: bytes, pos: int):
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _fields(buf: bytes) -> Iterator:
+    """Yield (field_number, wire_type, value) from a protobuf message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:  # 64-bit
+            val = buf[pos : pos + 8]
+            pos += 8
+        elif wire == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:  # 32-bit
+            val = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _parse_feature(buf: bytes) -> FeatureValue:
+    """Feature: bytes_list=1 / float_list=2 / int64_list=3, each with
+    repeated value field 1."""
+    for field, _, val in _fields(buf):
+        if field == 1:  # BytesList
+            return [v for f, _, v in _fields(val) if f == 1]
+        if field == 2:  # FloatList (packed or not)
+            out: List[float] = []
+            for f, w, v in _fields(val):
+                if f != 1:
+                    continue
+                if w == 2:  # packed
+                    out.extend(struct.unpack(f"<{len(v)//4}f", v))
+                else:
+                    out.append(struct.unpack("<f", v)[0])
+            return out
+        if field == 3:  # Int64List
+            out_i: List[int] = []
+            for f, w, v in _fields(val):
+                if f != 1:
+                    continue
+                if w == 2:
+                    pos = 0
+                    while pos < len(v):
+                        x, pos = _read_varint(v, pos)
+                        out_i.append(x)
+                else:
+                    out_i.append(v)
+            return out_i
+    return []
+
+
+def parse_example(buf: bytes) -> Dict[str, FeatureValue]:
+    """tf.Example: features(field 1) -> Features: map<string,Feature>(field 1)
+    where each map entry is a message {key=1: string, value=2: Feature}."""
+    out: Dict[str, FeatureValue] = {}
+    for field, _, features_buf in _fields(buf):
+        if field != 1:
+            continue
+        for f2, _, entry in _fields(features_buf):
+            if f2 != 1:
+                continue
+            key = None
+            value = None
+            for f3, _, v3 in _fields(entry):
+                if f3 == 1:
+                    key = v3.decode("utf-8")
+                elif f3 == 2:
+                    value = _parse_feature(v3)
+            if key is not None:
+                out[key] = value
+    return out
+
+
+def read_tfrecord(path: str) -> Iterator[bytes]:
+    """Yield raw record payloads (TFRecord framing: u64 length, u32 crc,
+    payload, u32 crc; CRCs not verified)."""
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                return
+            (length,) = struct.unpack("<Q", header)
+            f.read(4)  # length crc
+            payload = f.read(length)
+            f.read(4)  # payload crc
+            yield payload
+
+
+def read_examples(path: str) -> Iterator[Dict[str, FeatureValue]]:
+    for rec in read_tfrecord(path):
+        yield parse_example(rec)

@@ -39,6 +39,7 @@ from ..train import (
     make_train_step,
 )
 from . import meters as meters_mod
+from . import plots
 
 logger = logging.getLogger(__name__)
 
@@ -138,6 +139,10 @@ class Runner:
                 gn = float(metrics["grad_norm"])
                 meters["losses_train"].update(loss, step)
                 meters["grad_norm"].update(gn, step)
+                warm = getattr(config.optim, "warmup", 0) or 1
+                meters["lr_meter"].update(
+                    config.optim.lr * min(step / warm, 1.0), step
+                )
                 elapsed = time.time() - t_start
                 logger.info(
                     "step %d | loss %.2f | grad %.3f | %.2f steps/s",
@@ -153,6 +158,7 @@ class Runner:
             if step % ckpt_freq == 0:
                 checkpoints.save_checkpoint(self._ckpt_dir(), state)
                 meters_mod.save_meters(meters, args.log_path)
+                plots.plot_graphs_process(meters, args.log_path)
             if step % snapshot_freq == 0:
                 checkpoints.save_checkpoint(self._ckpt_dir(), state, name=f"checkpoint_{step}")
                 if getattr(config.training, "snapshot_sampling", True):
@@ -228,15 +234,30 @@ class Runner:
         loader = self._test_loader_repeated(test_ds, preds_per_test, bs)
 
         lpips_fn, i3d_embedder = self._metric_providers()
+        out_dir = getattr(args, "video_folder", args.log_path)
+        os.makedirs(out_dir, exist_ok=True)
+
+        def save_artifacts(real=None, pred=None, cond=None):
+            from ..data.conditioning import unfold_frames
+            C = config.data.channels
+
+            def unfold(a):
+                if a is None:
+                    return None
+                return np.asarray(unfold_frames(jnp.asarray(a), a.shape[-1] // C))
+
+            plots.save_video_grid(
+                os.path.join(out_dir, f"videos_{ckpt or step}"),
+                pred=unfold(pred), real=unfold(real), cond=unfold(cond),
+            )
+
         vm = run_video_gen(
             config, self.model, params, self.sched, iter(loader),
             jax.random.PRNGKey(getattr(args, "seed", 0)),
             ckpt=ckpt or step, max_data_iter=getattr(config.sampling, "max_data_iter", 1),
             preds_per_test=preds_per_test, lpips_fn=lpips_fn,
-            i3d_embedder=i3d_embedder,
+            i3d_embedder=i3d_embedder, save_artifacts=save_artifacts,
         )
-        out_dir = getattr(args, "video_folder", args.log_path)
-        os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "vid_metrics.yml"), "w") as f:
             yaml.safe_dump({k: float(v) if isinstance(v, (int, float, np.floating)) else v
                             for k, v in vm.items()}, f)
@@ -347,10 +368,96 @@ class Runner:
     # ---------------------------------------------------------------- fast_fid
 
     def fast_fid(self):
-        """FID sweep over checkpoints (reference: ncsn_runner.py:2432-2586).
-        Requires Inception weights (config.eval.inception_weights); sample
-        generation and caching are implemented, the feature model is pluggable."""
-        raise NotImplementedError(
-            "fast_fid needs the Inception feature weights; wire config.eval."
-            "inception_weights and use eval/fid.py (round 2)."
-        )
+        """FID(+P/R) sweep over checkpoints (reference: ncsn_runner.py:2432-2586):
+        for each numbered checkpoint, sample num_samples frames, extract
+        Inception features (config.eval.inception_weights sidecar), compute
+        FID + kNN precision/recall against real data features, cache samples
+        and features per checkpoint, write fids.yml."""
+        from ..eval.fid import get_fid_pr, make_inception_embedder
+
+        args, config = self.args, self.config
+        inc_path = getattr_nested(config, "eval.inception_weights")
+        if not (inc_path and os.path.isfile(inc_path)):
+            raise FileNotFoundError(
+                "fast_fid needs Inception feature weights: set "
+                "eval.inception_weights (the reference downloads pt_inception "
+                "at runtime; zero-egress here)"
+            )
+        embed = make_inception_embedder(inc_path)
+
+        ff = config.fast_fid
+        _, test_ds = get_dataset(args.data_path, config,
+                                 video_frames_pred=config.data.num_frames)
+        num_samples = getattr(ff, "num_samples", 1000)
+        bs = min(getattr(ff, "batch_size", 100), num_samples)
+        k = getattr(ff, "pr_nn_k", 3)
+
+        # real features
+        loader = DataLoader(test_ds, batch_size=bs, shuffle=False)
+        reals = []
+        for X, _ in iter(loader):
+            reals.append(X.reshape(-1, *X.shape[2:]))
+            if sum(len(r) for r in reals) >= num_samples:
+                break
+        real_imgs = np.concatenate(reals)[:num_samples]
+        feat_r = embed(real_imgs)
+
+        cache_dir = getattr(args, "image_folder", args.log_path)
+        os.makedirs(cache_dir, exist_ok=True)
+        block = make_block_sampler(config, self.model, self.sched)
+        C, F = config.data.channels, config.data.num_frames
+
+        fids = {}
+        ckpt_dir = self._ckpt_dir()
+        steps = sorted(
+            int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
+            if d.startswith("checkpoint_")
+        ) or [None]
+        begin = getattr(ff, "begin_ckpt", 0)
+        end = getattr(ff, "end_ckpt", 10**12)
+        for s in steps:
+            if s is not None and not (begin <= s <= end):
+                continue
+            params, loaded = self._load_eval_params(s)
+            feats_cache = os.path.join(cache_dir, f"feats_{s or loaded}.npy")
+            if os.path.isfile(feats_cache):
+                feat_g = np.load(feats_cache)
+            else:
+                samples = []
+                key = jax.random.PRNGKey(getattr(args, "seed", 0))
+                loader2 = iter(DataLoader(test_ds, batch_size=bs, shuffle=False,
+                                          repeat=True))
+                while sum(len(x) for x in samples) < num_samples:
+                    X, _ = next(loader2)
+                    Xt = data_transform(config, jnp.asarray(X))
+                    _, cond, cond_mask = conditioning_fn(
+                        config, Xt, key=jax.random.PRNGKey(0),
+                        num_frames_pred=F, conditional=config.data.num_frames_cond > 0,
+                    )
+                    key, k1, k2 = jax.random.split(key, 3)
+                    sz = config.data.image_size
+                    from ..eval.video_gen import init_noise
+
+                    init = init_noise(k1, config, self.sched, (X.shape[0], sz, sz, C * F))
+                    gen = block(params, k2, init, cond, cond_mask)
+                    gen = np.asarray(inverse_data_transform(config, gen))
+                    # frames as images (B*F, H, W, C)
+                    B_, H_, W_, _ = gen.shape
+                    samples.append(
+                        gen.reshape(B_, H_, W_, F, C).transpose(0, 3, 1, 2, 4).reshape(
+                            B_ * F, H_, W_, C
+                        )
+                    )
+                sample_imgs = np.concatenate(samples)[:num_samples]
+                np.save(os.path.join(cache_dir, f"samples_{s or loaded}.npy"), sample_imgs)
+                feat_g = embed(sample_imgs)
+                np.save(feats_cache, feat_g)
+            res = get_fid_pr(feat_r, feat_g, k=k)
+            fids[s or loaded] = res
+            logger.info("ckpt %s: %s", s or loaded, res)
+
+        with open(os.path.join(args.log_path, "fids.yml"), "w") as f:
+            yaml.safe_dump(
+                {int(kk): {m: float(v) for m, v in vv.items()} for kk, vv in fids.items()}, f
+            )
+        return fids

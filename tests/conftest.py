@@ -22,3 +22,11 @@ jax.config.update("jax_platforms", "cpu")
 # Numerical-parity tests compare against float32 torch oracles; the backend's
 # default matmul/conv precision is bf16-class, so pin full precision here.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the suite is compile-dominated on the single
+# host CPU; cached runs are several times faster.
+_cache = os.path.expanduser("~/.cache/jax_comp_tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

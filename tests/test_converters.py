@@ -1,0 +1,126 @@
+"""Converter roundtrips: synthetic raw data -> HDF5 shards -> dataset classes.
+Also a pure-python TFRecord/tf.Example parse roundtrip."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from mcvd_tpu.data.converters import kth_convert, ucf101_convert
+from mcvd_tpu.data.tfrecord import parse_example, read_examples
+from mcvd_tpu.data.video_datasets import KTHDataset, UCF101Dataset
+
+
+def write_avi(path, n_frames=12, size=64, width=None, seed=0):
+    rng = np.random.RandomState(seed)
+    width = width or size
+    fourcc = cv2.VideoWriter_fourcc(*"MJPG")
+    w = cv2.VideoWriter(path, fourcc, 25, (width, size))
+    for t in range(n_frames):
+        frame = rng.randint(0, 255, (size, width, 3), np.uint8)
+        w.write(frame)
+    w.release()
+
+
+def test_kth_convert_roundtrip(tmp_path):
+    raw = tmp_path / "kth_raw"
+    raw.mkdir()
+    for person in (1, 2, 21):
+        for cls in ("boxing", "walking"):
+            write_avi(str(raw / f"person{person:02d}_{cls}_d1_uncomp.avi"),
+                      seed=person)
+    out = tmp_path / "KTH64_h5"
+    n = kth_convert(str(raw), str(out), image_size=64)
+    assert n == 6
+    ds = KTHDataset(str(out), frames_per_sample=4, train=True)
+    video, target = ds[0]
+    assert video.shape == (4, 64, 64, 1)
+    assert 0.0 <= video.min() and video.max() <= 1.0
+    ds_test = KTHDataset(str(out), frames_per_sample=4, train=False)
+    assert len(ds_test) == 2  # person 21 x 2 classes
+
+
+def test_ucf101_convert_roundtrip(tmp_path):
+    raw = tmp_path / "ucf_raw"
+    (raw / "ApplyEyeMakeup").mkdir(parents=True)
+    (raw / "Archery").mkdir()
+    splits = tmp_path / "splits"
+    splits.mkdir()
+    train, test = [], []
+    for i in range(3):
+        rel = f"ApplyEyeMakeup/v_ApplyEyeMakeup_g{i:02d}_c01.avi"
+        write_avi(str(raw / rel), size=240, width=320, seed=i)
+        train.append(rel)
+    for i in range(2):
+        rel = f"Archery/v_Archery_g{i:02d}_c01.avi"
+        write_avi(str(raw / rel), size=240, width=320, seed=10 + i)
+        test.append(rel)
+    (splits / "trainlist01.txt").write_text("\n".join(f"{r} 1" for r in train))
+    (splits / "testlist01.txt").write_text("\n".join(test))
+
+    out = tmp_path / "UCF_h5"
+    n_train, n_test = ucf101_convert(str(raw), str(splits), str(out), image_size=64)
+    assert (n_train, n_test) == (3, 2)
+    ds = UCF101Dataset(str(out), frames_per_sample=4, image_size=64, train=True)
+    video, target = ds[0]
+    assert video.shape == (4, 64, 64, 3)
+
+
+def encode_example(features):
+    """Minimal tf.Example encoder (test-side oracle for the parser)."""
+    def varint(n):
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def field(num, wire, payload):
+        return varint((num << 3) | wire) + payload
+
+    def ld(num, payload):
+        return field(num, 2, varint(len(payload)) + payload)
+
+    entries = b""
+    for key, val in features.items():
+        if isinstance(val[0], bytes):
+            lst = b"".join(ld(1, v) for v in val)
+            feat = ld(1, lst)
+        elif isinstance(val[0], float):
+            packed = struct.pack(f"<{len(val)}f", *val)
+            feat = ld(2, ld(1, packed))
+        else:
+            packed = b"".join(varint(v) for v in val)
+            feat = ld(3, ld(1, packed))
+        entry = ld(1, key.encode()) + ld(2, feat)
+        entries += ld(1, entry)
+    return ld(1, entries)
+
+
+def test_tf_example_parser():
+    feats = {
+        "0/image_aux1/encoded": [b"\x01\x02\x03"],
+        "scores": [1.5, -2.25],
+        "ids": [3, 700],
+    }
+    buf = encode_example(feats)
+    parsed = parse_example(buf)
+    assert parsed["0/image_aux1/encoded"] == [b"\x01\x02\x03"]
+    np.testing.assert_allclose(parsed["scores"], [1.5, -2.25])
+    assert parsed["ids"] == [3, 700]
+
+
+def test_tfrecord_framing(tmp_path):
+    path = tmp_path / "x.tfrecord"
+    payloads = [encode_example({"a": [1]}), encode_example({"b": [2.0]})]
+    with open(path, "wb") as f:
+        for p in payloads:
+            f.write(struct.pack("<Q", len(p)) + b"\0\0\0\0" + p + b"\0\0\0\0")
+    exs = list(read_examples(str(path)))
+    assert exs[0]["a"] == [1]
+    np.testing.assert_allclose(exs[1]["b"], [2.0])

@@ -70,32 +70,21 @@ def run_forward(config, B=2):
     return params, out
 
 
+# Note: forward parity for all 7 architecture variants (incl. SPADE, 3D,
+# pseudo3D, cond_emb, legacy UNet) is covered against reference goldens in
+# test_torch_parity.py; here only configurations NOT exercised there.
 @pytest.mark.parametrize(
     "arch,spade",
     [
-        ("unetmore", False),
-        ("unetmore", True),
-        ("unetmore3d", False),
-        ("unetmore3d", True),
-        ("unetmorepseudo3d", False),
-        ("unetmorepseudo3d", True),
+        ("unetmore3d", True),  # 3D+SPADE: no golden (reference pairing exists)
     ],
 )
 def test_ncsnpp_variants(arch, spade):
     run_forward(make_config(arch=arch, spade=spade))
 
 
-def test_cond_emb():
-    run_forward(make_config(cond_emb=True))
-
-
 def test_future_frames():
     run_forward(make_config(num_frames_future=1))
-
-
-def test_legacy_unet():
-    config = make_config(arch="unet", image_size=16, ngf=32)
-    run_forward(config)
 
 
 def test_init_scale_zero_output():
