@@ -58,6 +58,9 @@ class DataLoader:
                 chunk = idx[i : i + self.batch_size]
                 if self.drop_last and len(chunk) < self.batch_size:
                     break
+                if hasattr(self.dataset, "get_batch"):
+                    yield self.dataset.get_batch(chunk)
+                    continue
                 items = [self.dataset[int(j)] for j in chunk]
                 if isinstance(items[0], tuple):
                     xs = np.stack([it[0] for it in items])

@@ -119,6 +119,32 @@ class StochasticMovingMNIST:
     def __len__(self):
         return self.N
 
+    def get_batch(self, indices):
+        """Batch fast-path: native C++ synthesizer (data/native) when built;
+        falls back to the per-item numpy path. Videos only (targets unused
+        on the video pipeline)."""
+        try:
+            from . import native
+
+            out = native.smmnist_synthesize_batch(
+                self.digits,
+                np.asarray(indices, np.int64),
+                seed=self._seed,
+                epoch=self._epoch,
+                seq_len=self.seq_len,
+                image_size=self.image_size,
+                num_digits=self.num_digits,
+                deterministic=self.deterministic,
+            )
+            if out is not None:
+                if self.with_target:
+                    return out, (out >= 0.5).astype(np.float32)
+                return out, np.zeros(len(indices), np.int64)
+        except Exception:
+            pass
+        items = [self[int(j)] for j in indices]
+        return np.stack([it[0] for it in items]), np.asarray([it[1] for it in items])
+
     def __getitem__(self, index):
         rng = np.random.default_rng(
             np.random.SeedSequence([self._seed, self._epoch, int(index)])
