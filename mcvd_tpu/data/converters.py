@@ -193,6 +193,35 @@ class UCFMaker(HDF5Maker):
             )
 
 
+def kinetics600_convert(kin_dir: str, out_dir: str, split: str = "train",
+                        image_size: int = 64, vids_per_shard: int = 1000,
+                        force: bool = False, max_videos: Optional[int] = None):
+    """Kinetics-600 mp4 tree (<split>/<class>/<video>.mp4) -> shards with
+    len/target groups (reference: datasets/kinetics600_convert.py)."""
+    maker = UCFMaker(os.path.join(out_dir, split), num_per_shard=vids_per_shard,
+                     force=force, video=True)
+    split_dir = os.path.join(kin_dir, split)
+    classes = sorted(
+        d for d in os.listdir(split_dir) if os.path.isdir(os.path.join(split_dir, d))
+    )
+    count = 0
+    for cls in classes:
+        for path in sorted(
+            glob.glob(os.path.join(split_dir, cls, "*.mp4"))
+            + glob.glob(os.path.join(split_dir, cls, "*.avi"))
+        ):
+            frames = _read_video_frames(path, image_size=image_size)
+            if not frames:
+                continue
+            maker.add_data((frames, classes.index(cls)), dtype="uint8")
+            count += 1
+            if max_videos and count >= max_videos:
+                maker.close()
+                return count
+    maker.close()
+    return count
+
+
 def ucf101_convert(ucf_dir: str, splits_dir: str, out_dir: str,
                    image_size: int = 64, vids_per_shard: int = 100000,
                    force: bool = False):

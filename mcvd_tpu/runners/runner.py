@@ -128,10 +128,25 @@ class Runner:
         step = int(state.step)
         data_iter = prefetch_to_device(iter(loader), sharding=sharding)
         t_start = time.time()
+        profile_at = getattr(config.training, "profile_at_step", 0)
+        profile_dir = os.path.join(args.log_path, "profile")
         while step < n_iters:
             X, _ = next(data_iter)
             rng, k = jax.random.split(rng)
+            if profile_at and step + 1 == profile_at:
+                # jax.profiler trace around a few steps (SURVEY §5: the
+                # reference has no tracing; this is the TPU-native equivalent)
+                try:
+                    jax.profiler.start_trace(profile_dir)
+                except Exception as e:
+                    logger.warning("profiler unavailable: %s", e)
             state, metrics = step_fn(state, X, k)
+            if profile_at and step + 1 == profile_at + 3:
+                try:
+                    jax.profiler.stop_trace()
+                    logger.info("profile written to %s", profile_dir)
+                except Exception:
+                    pass
             step = int(state.step)
 
             if step % log_freq == 0 or step == 1:
@@ -144,9 +159,18 @@ class Runner:
                     config.optim.lr * min(step / warm, 1.0), step
                 )
                 elapsed = time.time() - t_start
+                try:
+                    import psutil
+
+                    mem_gb = psutil.Process().memory_info().rss / 1e9
+                except Exception:
+                    mem_gb = 0.0
                 logger.info(
-                    "step %d | loss %.2f | grad %.3f | %.2f steps/s",
+                    "step %d | loss %.2f | grad %.3f | %.2f steps/s | "
+                    "elapsed %s | host mem %.2fGB",
                     step, loss, gn, step / max(elapsed, 1e-9),
+                    str(__import__("datetime").timedelta(seconds=int(elapsed))),
+                    mem_gb,
                 )
             if step % val_freq == 0:
                 Xv, _ = next(test_iter)
@@ -282,7 +306,8 @@ class Runner:
             try:
                 from ..eval.lpips import make_lpips_fn
 
-                lpips_fn = make_lpips_fn(lpips_path)
+                alex_path = getattr_nested(self.config, "eval.lpips_alexnet_weights")
+                lpips_fn = make_lpips_fn(lpips_path, alex_path)
             except Exception as e:
                 logger.warning("LPIPS disabled: %s", e)
         return lpips_fn, i3d_embedder
@@ -456,8 +481,14 @@ class Runner:
             fids[s or loaded] = res
             logger.info("ckpt %s: %s", s or loaded, res)
 
+        out = {int(kk): {m: float(v) for m, v in vv.items()} for kk, vv in fids.items()}
+        if getattr(ff, "ensemble", False) and len(fids) > 1:
+            # fast_ensemble_fid: average scores across checkpoints
+            # (reference: ncsn_runner.py:2624-2626)
+            out["ensemble"] = {
+                m: float(np.mean([v[m] for v in fids.values()]))
+                for m in ("fid", "precision", "recall")
+            }
         with open(os.path.join(args.log_path, "fids.yml"), "w") as f:
-            yaml.safe_dump(
-                {int(kk): {m: float(v) for m, v in vv.items()} for kk, vv in fids.items()}, f
-            )
-        return fids
+            yaml.safe_dump(out, f)
+        return out

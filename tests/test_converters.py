@@ -124,3 +124,23 @@ def test_tfrecord_framing(tmp_path):
     exs = list(read_examples(str(path)))
     assert exs[0]["a"] == [1]
     np.testing.assert_allclose(exs[1]["b"], [2.0])
+
+
+def test_kinetics600_convert_roundtrip(tmp_path):
+    from mcvd_tpu.data.converters import kinetics600_convert
+    from mcvd_tpu.data.h5 import HDF5Dataset
+
+    raw = tmp_path / "kin" / "train"
+    (raw / "dancing").mkdir(parents=True)
+    (raw / "surfing").mkdir()
+    write_avi(str(raw / "dancing" / "a.avi"), size=128, width=160, seed=0)
+    write_avi(str(raw / "surfing" / "b.avi"), size=128, width=160, seed=1)
+    out = tmp_path / "KIN_h5"
+    n = kinetics600_convert(str(tmp_path / "kin"), str(out), split="train",
+                            image_size=64)
+    assert n == 2
+    ds = HDF5Dataset(str(out / "train"))
+    assert len(ds) == 2
+    with ds.opener(ds.shard_paths[0]) as f:
+        assert int(f["len"]["0"][()]) == 12
+        assert int(f["target"]["1"][()]) == 1

@@ -56,6 +56,12 @@ BASE = {
         "weight_decay": 0.0, "optimizer": "Adam", "lr": 0.0002, "warmup": 1000,
         "beta1": 0.9, "amsgrad": False, "eps": 1e-08, "grad_clip": 1.0,
     },
+    # external pretrained feature extractors (runtime downloads in the
+    # reference; zero-egress here -> point at local files to activate)
+    "eval": {
+        "lpips_weights": None, "lpips_alexnet_weights": None,
+        "i3d_weights": None, "inception_weights": None,
+    },
 }
 
 
