@@ -52,11 +52,13 @@ def get_dataset(data_path, config, video_frames_pred=0, start_at=0, seed=0):
         dataset = StochasticMovingMNIST(
             data_path, train=True, seq_len=frames_per_sample,
             num_digits=getattr(config.data, "num_digits", 2),
+            image_size=config.data.image_size,
             step_length=config.data.step_length, with_target=False, seed=seed,
         )
         test_dataset = StochasticMovingMNIST(
             data_path, train=False, seq_len=frames_per_sample,
             num_digits=getattr(config.data, "num_digits", 2),
+            image_size=config.data.image_size,
             step_length=config.data.step_length, with_target=False,
             total_videos=256, seed=seed + 1,
         )
@@ -66,11 +68,13 @@ def get_dataset(data_path, config, video_frames_pred=0, start_at=0, seed=0):
         dataset = StochasticMovingMNIST(
             data_path, train=True, seq_len=frames_per_sample,
             num_digits=getattr(config.data, "num_digits", 2),
+            image_size=config.data.image_size,
             step_length=config.data.step_length, deterministic=True, seed=seed,
         )
         test_dataset = StochasticMovingMNIST(
             data_path, train=False, seq_len=frames_per_sample,
             num_digits=getattr(config.data, "num_digits", 2),
+            image_size=config.data.image_size,
             step_length=config.data.step_length, deterministic=True,
             total_videos=256, seed=seed + 1,
         )

@@ -316,9 +316,14 @@ class Runner:
 
     def sample(self, ckpt: Optional[int] = None):
         """Conditional video batch sampling -> saved arrays (reference
-        `sample`, ncsn_runner.py:914-1301; the legacy image-inpainting and
-        image-interpolation branches are vestigial ncsnv2 paths)."""
+        `sample`, ncsn_runner.py:914-1301). The legacy SMLD image
+        inpainting/interpolation branches (:957-1094) dispatch to
+        diffusion/langevin_extras."""
         args, config = self.args, self.config
+        if getattr(config.sampling, "inpainting", False):
+            return self._sample_inpainting(ckpt)
+        if getattr(config.sampling, "interpolation", False):
+            return self._sample_interpolation(ckpt)
         params, step = self._load_eval_params(ckpt)
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
@@ -348,6 +353,83 @@ class Runner:
         )
         logger.info("wrote samples to %s", out_dir)
         return gen
+
+    def _eps_closure(self, params, cond=None, cond_mask=None):
+        def eps_fn(x, labels):
+            return self.model.apply({"params": params}, x, labels, cond, cond_mask,
+                                    sched=self.sched, rng=jax.random.PRNGKey(0))
+        return eps_fn
+
+    def _sample_inpainting(self, ckpt):
+        """Right-half-unknown inpainting (reference: ncsn_runner.py:957-1021,
+        SMLD legacy image path). Generalized to the video model: the folded
+        pred-frame block is inpainted, conditioned on past frames as usual."""
+        from ..diffusion.langevin_extras import anneal_langevin_inpainting
+
+        args, config = self.args, self.config
+        assert self.version == "SMLD", "inpainting sampling is the SMLD legacy path"
+        params, step = self._load_eval_params(ckpt)
+        _, test_ds = get_dataset(args.data_path, config,
+                                 video_frames_pred=config.data.num_frames)
+        bs = getattr(config.sampling, "batch_size", 8)
+        X, _ = next(iter(DataLoader(test_ds, batch_size=bs, shuffle=False)))
+        Xt = data_transform(config, jnp.asarray(X))
+        refer, cond, cond_mask = conditioning_fn(
+            config, Xt, key=jax.random.PRNGKey(0),
+            num_frames_pred=config.data.num_frames,
+            conditional=config.data.num_frames_cond > 0,
+        )
+        key = jax.random.PRNGKey(getattr(args, "seed", 0))
+        init = jax.random.uniform(key, refer.shape)
+        out = anneal_langevin_inpainting(
+            key, data_transform(config, init), refer,
+            self._eps_closure(params, cond, cond_mask), self.sched,
+            n_steps_each=getattr(config.sampling, "n_steps_each", 100),
+            step_lr=getattr(config.sampling, "step_lr", 8e-6),
+        )
+        out = np.asarray(inverse_data_transform(config, out))
+        out_dir = getattr(args, "image_folder", args.log_path)
+        os.makedirs(out_dir, exist_ok=True)
+        np.savez(os.path.join(out_dir, f"inpainting_{ckpt or step}.npz"),
+                 samples=out,
+                 refer=np.asarray(inverse_data_transform(config, refer)))
+        return out
+
+    def _sample_interpolation(self, ckpt):
+        """Slerp-noise interpolation grid (reference: ncsn_runner.py:1023-1094)."""
+        from ..diffusion.langevin_extras import anneal_langevin_interpolation
+
+        args, config = self.args, self.config
+        assert self.version == "SMLD", "interpolation sampling is the SMLD legacy path"
+        params, step = self._load_eval_params(ckpt)
+        _, test_ds = get_dataset(args.data_path, config,
+                                 video_frames_pred=config.data.num_frames)
+        bs = getattr(config.sampling, "batch_size", 8)
+        n_interp = getattr(config.sampling, "n_interpolations", 15)
+        sz, C = config.data.image_size, config.data.channels
+        F = config.data.num_frames
+        X, _ = next(iter(DataLoader(test_ds, batch_size=bs, shuffle=False)))
+        Xt = data_transform(config, jnp.asarray(X))
+        _, cond, cond_mask = conditioning_fn(
+            config, Xt, key=jax.random.PRNGKey(0), num_frames_pred=F,
+            conditional=config.data.num_frames_cond > 0,
+        )
+        if cond is not None:  # each row repeated n_interp times by the sampler
+            cond = jnp.repeat(cond, n_interp, axis=0)
+            cond_mask = jnp.repeat(cond_mask, n_interp, axis=0) if cond_mask is not None else None
+        key = jax.random.PRNGKey(getattr(args, "seed", 0))
+        init = data_transform(config, jax.random.uniform(key, (bs, sz, sz, F * C)))
+        out = anneal_langevin_interpolation(
+            key, init, self._eps_closure(params, cond, cond_mask), self.sched,
+            n_interp,
+            n_steps_each=getattr(config.sampling, "n_steps_each", 200),
+            step_lr=getattr(config.sampling, "step_lr", 8e-6),
+        )
+        out = np.asarray(inverse_data_transform(config, out))
+        out_dir = getattr(args, "image_folder", args.log_path)
+        os.makedirs(out_dir, exist_ok=True)
+        np.savez(os.path.join(out_dir, f"interpolation_{ckpt or step}.npz"), samples=out)
+        return out
 
     # ------------------------------------------------------------------ test
 

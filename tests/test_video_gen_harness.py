@@ -1,0 +1,103 @@
+"""video_gen 3-pass harness on a tiny model: interp+pred+gen taxonomy
+(reference: ncsn_runner.py video_gen passes 1-3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcvd_tpu.config import dict2namespace
+from mcvd_tpu.diffusion import make_schedule
+from mcvd_tpu.eval.video_gen import run_video_gen, slide_cond_window
+from mcvd_tpu.models import get_model
+
+
+def make_config(future=0, pmc=0.0, pmf=0.0):
+    return dict2namespace({
+        "data": {
+            "channels": 1, "image_size": 16, "num_frames": 2,
+            "num_frames_cond": 2, "num_frames_future": future,
+            "logit_transform": False, "rescaled": True,
+            "prob_mask_cond": pmc, "prob_mask_future": pmf,
+            "prob_mask_sync": False, "dataset": "StochasticMovingMNIST",
+        },
+        "model": {
+            "arch": "unetmore", "version": "DDPM", "spade": False,
+            "cond_emb": pmc > 0, "time_conditional": True, "dropout": 0.0,
+            "sigma_dist": "linear", "sigma_begin": 0.02, "sigma_end": 0.0001,
+            "num_classes": 10, "ngf": 8, "ch_mult": [1, 2], "num_res_blocks": 1,
+            "attn_resolutions": [8], "n_head_channels": 4, "conditional": True,
+            "noise_in_cond": False, "output_all_frames": False, "gamma": False,
+            "ema": False, "ema_rate": 0.999,
+        },
+        "sampling": {
+            "ssim": True, "fvd": True, "subsample": 3, "num_frames_pred": 4,
+            "preds_per_test": 2, "clip_before": True, "denoise": True,
+            "max_data_iter": 1, "batch_size": 4, "one_frame_at_a_time": False,
+            "init_prev_t": -1,
+        },
+    })
+
+
+def fake_embedder(videos):
+    # stand-in for I3D: cheap pooled features
+    v = np.asarray(videos)
+    return v.reshape(len(v), -1)[:, :16].astype(np.float64)
+
+
+def _loader(config, B=4):
+    T = config.data.num_frames_cond + config.data.num_frames + getattr(
+        config.data, "num_frames_future", 0
+    )
+    # need pred window too
+    T = max(T, config.data.num_frames_cond + config.sampling.num_frames_pred
+            + getattr(config.data, "num_frames_future", 0))
+    X = np.random.RandomState(0).rand(B, T, 16, 16, 1).astype(np.float32)
+    return [(X, np.zeros(B))]
+
+
+def _run(config):
+    model = get_model(config)
+    sched = make_schedule(config)
+    B = 4
+    x = jnp.zeros((B, 16, 16, config.data.num_frames))
+    Fc = config.data.num_frames_cond + config.data.num_frames_future
+    cond = jnp.zeros((B, 16, 16, Fc))
+    y = jnp.zeros((B,), jnp.int32)
+    cm = jnp.ones((B,), jnp.int32) if config.model.cond_emb else None
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, y, cond, cm)["params"]
+    return run_video_gen(
+        config, model, params, sched, iter(_loader(config)),
+        jax.random.PRNGKey(0), preds_per_test=config.sampling.preds_per_test,
+        i3d_embedder=fake_embedder,
+    )
+
+
+def test_pure_prediction_with_fvd():
+    vm = _run(make_config())
+    assert {"mse", "psnr", "ssim", "fvd"} <= set(vm)
+    assert np.isfinite(vm["mse"]) and np.isfinite(vm["fvd"])
+
+
+def test_interp_pred_gen_all_passes():
+    # condp>0, future>0, futrp>0, no sync -> passes 1+2+3
+    vm = _run(make_config(future=1, pmc=0.5, pmf=0.5))
+    assert "mse" in vm and "mse2" in vm, vm.keys()  # pass 1 + pass 2
+    assert "fvd3" in vm  # pass 3 (uncond gen)
+    for k in ("mse", "mse2", "fvd3"):
+        assert np.isfinite(vm[k])
+
+
+def test_slide_cond_window_future_aware():
+    config = make_config(future=1)
+    B, sz, C = 2, 4, 1
+    Fc, F, fut = 2, 2, 1
+    cond = jnp.arange(B * sz * sz * (Fc + fut) * C, dtype=jnp.float32).reshape(
+        B, sz, sz, (Fc + fut) * C
+    )
+    gen = -jnp.ones((B, sz, sz, F * C))
+    out = slide_cond_window(config, cond, gen, fut, one_frame=False)
+    assert out.shape == cond.shape
+    # future channel (last) preserved verbatim
+    np.testing.assert_allclose(np.asarray(out[..., -1]), np.asarray(cond[..., -1]))
+    # past channels replaced by last Fc frames of gen
+    np.testing.assert_allclose(np.asarray(out[..., 0]), -1.0)
