@@ -27,6 +27,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0]  # (T, D)
     k = k_ref[0]
     v = v_ref[0]
+    # scores + softmax in f32 regardless of input dtype (bf16 inputs are the
+    # fast path; the reduction math stays full precision)
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (T, T)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
