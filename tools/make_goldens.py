@@ -62,6 +62,7 @@ def main():
         ("unetmore2d_condemb", dict(arch="unetmore", cond_emb=True)),
         ("spade2d", dict(arch="unetmore", spade=True)),
         ("unetmore3d", dict(arch="unetmore3d")),
+        ("unetmore3d_spade", dict(arch="unetmore3d", spade=True)),
         ("pseudo3d", dict(arch="unetmorepseudo3d")),
         ("pseudo3d_spade", dict(arch="unetmorepseudo3d", spade=True)),
         ("unet_legacy", dict(arch="unet")),
