@@ -457,6 +457,21 @@ class ActNorm(nn.Module):
                 2 * C, kernel_init=default_init(), name="Dense_0"
             )(self.act(emb))
             scale, shift = jnp.split(emb_out, 2, axis=-1)
+            from .. import ops as _ops
+
+            if (
+                _ops.use_pallas()
+                and self.norm == "group"
+                and self.act is jax.nn.silu
+            ):
+                # fused GN + AdaGN + SiLU Pallas kernel (one HBM round-trip)
+                N_ = self.n_frames if self.is3d else 1
+                scale_cn = jnp.repeat(scale, N_, axis=-1) if N_ > 1 else scale
+                shift_cn = jnp.repeat(shift, N_, axis=-1) if N_ > 1 else shift
+                return _ops.groupnorm.fused_group_norm(
+                    x, num_groups_for(C), eps=1e-5, scale=scale_cn,
+                    shift=shift_cn, frames_last=N_, act=True,
+                )
             if self.is3d:
                 B = x.shape[0]
                 scale = scale.reshape(B, 1, 1, C, 1)

@@ -94,6 +94,13 @@ class GroupNorm(nn.Module):
         if self.affine:
             gamma = self.param("scale", nn.initializers.ones, (C,))
             beta = self.param("bias", nn.initializers.zeros, (C,))
+        from .. import ops as _ops  # lazy: ops.groupnorm imports this module
+
+        if _ops.use_pallas() and x.ndim == 4:
+            return _ops.groupnorm.fused_group_norm(
+                x, G, eps=self.eps, gamma=gamma, beta=beta,
+                frames_last=self.frames_last,
+            )
         return group_norm(
             x, G, eps=self.eps, gamma=gamma, beta=beta, frames_last=self.frames_last
         )

@@ -42,6 +42,7 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float, interpret: bool = False) -> jnp.ndarray:
     """(BH, T, D) -> (BH, T, D). Falls back to lax for T beyond the VMEM
     single-block limit."""
+    interpret = interpret or jax.default_backend() == "cpu"
     BH, T, D = q.shape
     if T > VMEM_SCORE_LIMIT:
         s = jnp.einsum("btd,bsd->bts", q, k) * scale

@@ -38,6 +38,7 @@ def fused_leaky_relu(x: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
                      negative_slope: float = 0.2, scale: float = 2**0.5,
                      interpret: bool = False) -> jnp.ndarray:
     """x (..., C); bias (C,)."""
+    interpret = interpret or jax.default_backend() == "cpu"
     shape = x.shape
     C = shape[-1]
     x2 = x.reshape(-1, C)

@@ -85,6 +85,7 @@ def fused_group_norm(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """GroupNorm(+affine)(+AdaGN)(+SiLU) over (B, H, W, CN)."""
+    interpret = interpret or jax.default_backend() == "cpu"
     B, H, W, CN = x.shape
     bytes_needed = H * W * CN * 4 * 2
     if bytes_needed > VMEM_BUDGET_BYTES:

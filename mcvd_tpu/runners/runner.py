@@ -245,8 +245,18 @@ class Runner:
             train=train, lpips_fn=lpips_fn, i3d_embedder=i3d_embedder,
         )
 
+    def _enable_eval_kernels(self):
+        """Pallas fused kernels for inference paths (+~30% sampling
+        throughput). Eval-only: the kernels have no custom VJPs, training
+        keeps the XLA path."""
+        from .. import ops
+
+        if getattr(self.config.model, "use_pallas", True) and jax.default_backend() != "cpu":
+            ops.set_use_pallas(True)
+
     def video_gen(self, ckpt: Optional[int] = None):
         args, config = self.args, self.config
+        self._enable_eval_kernels()
         num_frames_pred = config.sampling.num_frames_pred
         _, test_ds = get_dataset(
             args.data_path, config, video_frames_pred=num_frames_pred,
@@ -320,6 +330,7 @@ class Runner:
         inpainting/interpolation branches (:957-1094) dispatch to
         diffusion/langevin_extras."""
         args, config = self.args, self.config
+        self._enable_eval_kernels()
         if getattr(config.sampling, "inpainting", False):
             return self._sample_inpainting(ckpt)
         if getattr(config.sampling, "interpolation", False):

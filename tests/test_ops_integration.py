@@ -31,3 +31,59 @@ def test_attnblock_pallas_matches_xla():
         A.fused_attention = orig
         ops.set_use_pallas(False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_actnorm_adagn_pallas_matches_xla():
+    import jax.numpy as jnp
+
+    act = jax.nn.silu
+    an = blocks.ActNorm(act=act, norm="group", ch=16, emb_dim=8)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 8, 8, 16).astype(np.float32))
+    emb = jnp.asarray(np.random.RandomState(2).randn(2, 8).astype(np.float32))
+    params = jax.jit(an.init)(jax.random.PRNGKey(0), x, emb)
+    ref = jax.jit(an.apply)(params, x, emb)
+
+    import mcvd_tpu.ops.groupnorm as G
+
+    orig = G.fused_group_norm
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    ops.set_use_pallas(True)
+    G.fused_group_norm = interp
+    try:
+        got = jax.jit(an.apply)(params, x, emb)
+    finally:
+        G.fused_group_norm = orig
+        ops.set_use_pallas(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-4, atol=5e-5)
+
+
+def test_actnorm_adagn_pallas_matches_xla_3d():
+    import jax.numpy as jnp
+
+    act = jax.nn.silu
+    an = blocks.ActNorm(act=act, norm="group", ch=24, emb_dim=8, is3d=True, n_frames=3)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 8, 8, 24).astype(np.float32))
+    emb = jnp.asarray(np.random.RandomState(4).randn(2, 8).astype(np.float32))
+    params = jax.jit(an.init)(jax.random.PRNGKey(0), x, emb)
+    ref = jax.jit(an.apply)(params, x, emb)
+
+    import mcvd_tpu.ops.groupnorm as G
+
+    orig = G.fused_group_norm
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    ops.set_use_pallas(True)
+    G.fused_group_norm = interp
+    try:
+        got = jax.jit(an.apply)(params, x, emb)
+    finally:
+        G.fused_group_norm = orig
+        ops.set_use_pallas(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-4, atol=5e-5)
