@@ -182,6 +182,7 @@ def run_video_gen(
     lpips_fn: Optional[Callable] = None,
     i3d_embedder: Optional[Callable] = None,
     save_artifacts: Optional[Callable] = None,
+    batch_sharding=None,
 ) -> Dict:
     """Full 3-pass metric harness. `test_loader` yields raw (B,T,H,W,C)
     batches in [0,1] where each video is repeated preds_per_test times.
@@ -213,6 +214,10 @@ def run_video_gen(
             break
         X = batch[0] if isinstance(batch, tuple) else batch
         X = jnp.asarray(X)
+        if batch_sharding is not None:
+            # shard the eval batch over the data mesh: the jitted block
+            # sampler then runs data-parallel across chips
+            X = jax.device_put(X, batch_sharding)
         Xt = data_transform(config, X)
         C = data.channels
 

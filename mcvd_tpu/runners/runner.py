@@ -291,6 +291,7 @@ class Runner:
             ckpt=ckpt or step, max_data_iter=getattr(config.sampling, "max_data_iter", 1),
             preds_per_test=preds_per_test, lpips_fn=lpips_fn,
             i3d_embedder=i3d_embedder, save_artifacts=save_artifacts,
+            batch_sharding=data_sharding(self.mesh) if self.mesh.devices.size > 1 else None,
         )
         with open(os.path.join(out_dir, "vid_metrics.yml"), "w") as f:
             yaml.safe_dump({k: float(v) if isinstance(v, (int, float, np.floating)) else v
