@@ -266,7 +266,7 @@ class AttnBlock(nn.Module):
 
         from .. import ops as _ops
 
-        if _ops.use_pallas():
+        if _ops.use_pallas("attention"):
             # fused single-block attention kernel (ops/attention.py).
             # bf16 input casts were measured ~25% faster at the kernel level
             # but neutral end-to-end (cast/transpose overhead); keep f32.
@@ -460,7 +460,7 @@ class ActNorm(nn.Module):
             from .. import ops as _ops
 
             if (
-                _ops.use_pallas()
+                _ops.use_pallas("groupnorm")
                 and self.norm == "group"
                 and self.act is jax.nn.silu
             ):

@@ -96,7 +96,7 @@ class GroupNorm(nn.Module):
             beta = self.param("bias", nn.initializers.zeros, (C,))
         from .. import ops as _ops  # lazy: ops.groupnorm imports this module
 
-        if _ops.use_pallas() and x.ndim == 4:
+        if _ops.use_pallas("groupnorm") and x.ndim == 4:
             return _ops.groupnorm.fused_group_norm(
                 x, G, eps=self.eps, gamma=gamma, beta=beta,
                 frames_last=self.frames_last,

@@ -2,24 +2,25 @@
 implementation and equivalence tests — the TPU-native equivalent of the
 reference's CUDA/CPU dual implementations (models/better/op/).
 
-`set_use_pallas(True)` switches the model blocks onto the kernels; the
-default is the XLA path (XLA already fuses most of these well — the kernels
-exist for the cases where profiling shows a win and as the native-op parity
-surface).
+`set_use_pallas(True)` switches the model blocks onto the kernels; kinds can
+be toggled individually (`set_use_pallas(True, kinds=("groupnorm",))`). The
+GroupNorm kernel has a custom VJP and is training-safe; attention is
+forward-only (eval paths).
 """
 
 from . import attention, fused_act, groupnorm, upfirdn
 
-_USE_PALLAS = False
+_KINDS = ("attention", "groupnorm")
+_USE: dict = {k: False for k in _KINDS}
 
 
-def set_use_pallas(value: bool) -> None:
-    global _USE_PALLAS
-    _USE_PALLAS = bool(value)
+def set_use_pallas(value: bool, kinds=None) -> None:
+    for k in kinds or _KINDS:
+        _USE[k] = bool(value)
 
 
-def use_pallas() -> bool:
-    return _USE_PALLAS
+def use_pallas(kind: str = "attention") -> bool:
+    return _USE.get(kind, False)
 
 
 __all__ = ["attention", "fused_act", "groupnorm", "upfirdn", "set_use_pallas", "use_pallas"]
