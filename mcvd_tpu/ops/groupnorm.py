@@ -46,29 +46,27 @@ def _kernel(x_ref, M_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
             *, eps: float, act: bool, n_per_group: int, has_emb: bool,
             has_affine: bool):
     b = pl.program_id(0)
-    x = x_ref[0]                      # (H, W, CN)
-    H, W, CN = x.shape
-    xf = x.reshape(H * W, CN)
-    M = M_ref[:]                      # (CN, G)
-    # per-group sums via MXU
-    s1 = jnp.dot(xf.sum(axis=0, keepdims=True), M,
+    x = x_ref[0]                      # (H, W, CN) — no reshape copies: keep
+    M = M_ref[:]                      # the working set at ~in+out+1 temp
+    # per-channel sums over (H, W), then per-group via MXU
+    s1 = jnp.dot(x.sum(axis=(0, 1))[None, :], M,
                  preferred_element_type=jnp.float32)          # (1, G)
-    s2 = jnp.dot(jnp.sum(xf * xf, axis=0, keepdims=True), M,
+    s2 = jnp.dot(jnp.sum(x * x, axis=(0, 1))[None, :], M,
                  preferred_element_type=jnp.float32)          # (1, G)
     mean_g = s1 / n_per_group
     var_g = s2 / n_per_group - mean_g * mean_g
     rstd_g = jax.lax.rsqrt(var_g + eps)
-    # broadcast back per channel: (1,G) @ (G,CN)
-    mean_c = jnp.dot(mean_g, M.T, preferred_element_type=jnp.float32)  # (1, CN)
-    rstd_c = jnp.dot(rstd_g, M.T, preferred_element_type=jnp.float32)
-    y = (xf - mean_c) * rstd_c
+    # broadcast back per channel: (1,G) @ (G,CN), applied along lanes
+    mean_c = jnp.dot(mean_g, M.T, preferred_element_type=jnp.float32)[0]  # (CN,)
+    rstd_c = jnp.dot(rstd_g, M.T, preferred_element_type=jnp.float32)[0]
+    y = (x - mean_c) * rstd_c
     if has_affine:
         y = y * gamma_ref[:] + beta_ref[:]
     if has_emb:
         y = y * (1.0 + scale_ref[b]) + shift_ref[b]
     if act:
         y = y * jax.nn.sigmoid(y)     # SiLU
-    o_ref[0] = y.reshape(H, W, CN)
+    o_ref[0] = y
 
 
 def fused_group_norm(
@@ -219,6 +217,112 @@ def _fgn_bwd(num_groups, eps, frames_last, act, interpret, res, g):
 _fused_group_norm_diff.defvjp(_fgn_fwd, _fgn_bwd)
 
 
+def _stats_kernel(x_ref, M_ref, o_ref):
+    x = x_ref[0]  # (Ht, W, CN)
+    M = M_ref[:]
+    s1 = jnp.dot(x.sum(axis=(0, 1))[None, :], M,
+                 preferred_element_type=jnp.float32)
+    s2 = jnp.dot(jnp.sum(x * x, axis=(0, 1))[None, :], M,
+                 preferred_element_type=jnp.float32)
+    o_ref[0, 0] = jnp.concatenate([s1, s2], axis=0)  # (2, G)
+
+
+def _norm_kernel(x_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, scale_ref,
+                 shift_ref, o_ref, *, act: bool, has_emb: bool,
+                 has_affine: bool):
+    b = pl.program_id(0)
+    y = (x_ref[0] - mean_ref[b]) * rstd_ref[b]
+    if has_affine:
+        y = y * gamma_ref[:] + beta_ref[:]
+    if has_emb:
+        y = y * (1.0 + scale_ref[b]) + shift_ref[b]
+    if act:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y
+
+
+def _pick_h_tile(H: int, W: int, CN: int, budget: int = 1 << 20) -> int:
+    """Largest divisor of H with tile bytes <= budget."""
+    for ht in range(H, 0, -1):
+        if H % ht == 0 and ht * W * CN * 4 <= budget:
+            return ht
+    return 1
+
+
+def _fused_group_norm_tiled(x, gamma, beta, scale, shift, *, num_groups, eps,
+                            frames_last, act, interpret):
+    """Two-pass tiled variant for blocks too large for the single-pass
+    kernel: pass 1 accumulates per-(b, h-tile) group sums, stats combine in
+    XLA (tiny), pass 2 normalizes tile-wise. Handles arbitrarily large
+    activations (e.g. Cityscapes 128x128) with ~1MB tiles."""
+    B, H, W, CN = x.shape
+    C = CN // frames_last
+    G = num_groups
+    M = jnp.asarray(_group_matrix(CN, G, frames_last))
+    Ht = _pick_h_tile(H, W, CN)
+    n_tiles = H // Ht
+
+    partial = pl.pallas_call(
+        _stats_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles, 2, G), jnp.float32),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, Ht, W, CN), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CN, G), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 2, G), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, M)
+
+    n_per_group = H * W * (C // G) * frames_last
+    s = partial.sum(axis=1)               # (B, 2, G)
+    mean_g = s[:, 0] / n_per_group        # (B, G)
+    var_g = s[:, 1] / n_per_group - mean_g**2
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = mean_g @ M.T                 # (B, CN)
+    rstd_c = rstd_g @ M.T
+
+    has_affine = gamma is not None
+    if has_affine:
+        g_cn = jnp.repeat(gamma, frames_last) if frames_last > 1 else gamma
+        b_cn = jnp.repeat(beta, frames_last) if frames_last > 1 else beta
+    else:
+        g_cn = jnp.ones((CN,), x.dtype)
+        b_cn = jnp.zeros((CN,), x.dtype)
+    has_emb = scale is not None
+    if not has_emb:
+        scale = jnp.zeros((B, CN), x.dtype)
+        shift = jnp.zeros((B, CN), x.dtype)
+
+    kernel = functools.partial(_norm_kernel, act=act, has_emb=has_emb,
+                               has_affine=has_affine)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, Ht, W, CN), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CN), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CN), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CN,), lambda b, t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CN,), lambda b, t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CN), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CN), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Ht, W, CN), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, mean_c, rstd_c, g_cn, b_cn, scale, shift)
+
+
+# single-pass kernel needs ~8x the block size in scoped VMEM; beyond this the
+# two-pass tiled variant takes over
+SINGLE_PASS_MAX_BLOCK = int(1.5 * 1024 * 1024)
+
+
 def _fused_group_norm_impl(
     x: jnp.ndarray,
     gamma,
@@ -233,6 +337,12 @@ def _fused_group_norm_impl(
     interpret: bool,
 ) -> jnp.ndarray:
     interpret = interpret or jax.default_backend() == "cpu"
+    _, H_, W_, CN_ = x.shape
+    if H_ * W_ * CN_ * 4 > SINGLE_PASS_MAX_BLOCK:
+        return _fused_group_norm_tiled(
+            x, gamma, beta, scale, shift, num_groups=num_groups, eps=eps,
+            frames_last=frames_last, act=act, interpret=interpret,
+        )
     B, H, W, CN = x.shape
     bytes_needed = H * W * CN * 4 * 2
     if bytes_needed > VMEM_BUDGET_BYTES:

@@ -86,6 +86,12 @@ class Runner:
 
     def train(self):
         args, config = self.args, self.config
+        if getattr(config.model, "use_pallas", True) and jax.default_backend() != "cpu":
+            # fused GroupNorm has a custom VJP -> training-safe (+5% step
+            # time); attention stays forward-only (eval paths enable it)
+            from .. import ops
+
+            ops.set_use_pallas(True, kinds=("groupnorm",))
         train_ds, test_ds = get_dataset(
             args.data_path, config, video_frames_pred=config.data.num_frames
         )

@@ -85,3 +85,41 @@ def test_upsample_2d_fast_matches_model_path():
     ref = upsample_2d(x, [1.0, 3.0, 3.0, 1.0], factor=2)
     got = upsample_2d_fast(x, [1.0, 3.0, 3.0, 1.0], factor=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_group_norm_tiled_large_blocks():
+    """Two-pass tiled path for blocks beyond the single-pass VMEM budget."""
+    import mcvd_tpu.ops.groupnorm as G
+
+    rng = np.random.RandomState(7)
+    B, H, W, C = 2, 16, 16, 32
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    scale = jnp.asarray(rng.randn(B, C).astype(np.float32) * 0.1)
+    shift = jnp.asarray(rng.randn(B, C).astype(np.float32) * 0.1)
+    g = num_groups_for(C)
+    ref = group_norm(x, g, eps=1e-5)
+    ref = jax.nn.silu(ref * (1 + scale[:, None, None, :]) + shift[:, None, None, :])
+
+    orig = G.SINGLE_PASS_MAX_BLOCK
+    G.SINGLE_PASS_MAX_BLOCK = 1024  # force the tiled path
+    try:
+        got = fused_group_norm(x, g, eps=1e-5, scale=scale, shift=shift,
+                               act=True, interpret=True)
+    finally:
+        G.SINGLE_PASS_MAX_BLOCK = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    # gradient flows through the tiled path too (custom VJP recomputes stats)
+    G.SINGLE_PASS_MAX_BLOCK = 1024
+    try:
+        f = lambda x: jnp.sum(fused_group_norm(x, g, eps=1e-5, scale=scale,
+                                               shift=shift, act=True,
+                                               interpret=True) ** 2)
+        f_ref = lambda x: jnp.sum((jax.nn.silu(group_norm(x, g, eps=1e-5)
+                                   * (1 + scale[:, None, None, :])
+                                   + shift[:, None, None, :])) ** 2)
+        ga = jax.grad(f)(x)
+        gb = jax.grad(f_ref)(x)
+    finally:
+        G.SINGLE_PASS_MAX_BLOCK = orig
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=2e-3, atol=2e-4)
