@@ -38,10 +38,17 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float, interpret: bool = False) -> jnp.ndarray:
     """(BH, T, D) -> (BH, T, D). Falls back to lax for T beyond the VMEM
-    single-block limit."""
+    single-block limit. Differentiable: custom VJP with the standard
+    softmax-attention backward in XLA einsums (recomputes P; the forward
+    kernel fusion is where the win is)."""
+    return _fused_attention_fwd_impl(q, k, v, scale, interpret)
+
+
+def _fused_attention_fwd_impl(q, k, v, scale, interpret):
     interpret = interpret or jax.default_backend() == "cpu"
     BH, T, D = q.shape
     if T > VMEM_SCORE_LIMIT:
@@ -62,6 +69,25 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_specs=pl.BlockSpec((1, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(q, k, v)
+
+
+def _fa_fwd(q, k, v, scale, interpret):
+    return _fused_attention_fwd_impl(q, k, v, scale, interpret), (q, k, v)
+
+
+def _fa_bwd(scale, interpret, res, g):
+    q, k, v = res
+    s = jnp.einsum("btd,bsd->bts", q, k) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bts,btd->bsd", p, g)
+    dp = jnp.einsum("btd,bsd->bts", g, v)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bts,bsd->btd", ds, k) * scale
+    dk = jnp.einsum("bts,btd->bsd", ds, q) * scale
+    return dq, dk, dv
+
+
+fused_attention.defvjp(_fa_fwd, _fa_bwd)
 
 
 def attention_reference(q, k, v, scale):

@@ -87,11 +87,11 @@ class Runner:
     def train(self):
         args, config = self.args, self.config
         if getattr(config.model, "use_pallas", True) and jax.default_backend() != "cpu":
-            # fused GroupNorm has a custom VJP -> training-safe (+5% step
-            # time); attention stays forward-only (eval paths enable it)
+            # both fused kernels now carry custom VJPs -> training-safe
+            # (GN +5% step time, attention ~+1%)
             from .. import ops
 
-            ops.set_use_pallas(True, kinds=("groupnorm",))
+            ops.set_use_pallas(True)
         train_ds, test_ds = get_dataset(
             args.data_path, config, video_frames_pred=config.data.num_frames
         )

@@ -123,3 +123,23 @@ def test_fused_group_norm_tiled_large_blocks():
     finally:
         G.SINGLE_PASS_MAX_BLOCK = orig
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=2e-3, atol=2e-4)
+
+
+def test_fused_attention_gradients_match_reference():
+    rng = np.random.RandomState(8)
+    BH, T, D = 2, 16, 8
+    q = jnp.asarray(rng.randn(BH, T, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(BH, T, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(BH, T, D).astype(np.float32))
+    scale = D ** -0.5
+
+    def f_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, scale, True) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, scale) ** 2)
+
+    ga = jax.grad(f_fused, argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
