@@ -8,10 +8,9 @@ synthesis overlaps device compute.
 
 from __future__ import annotations
 
-import collections
 import threading
 import queue as queue_mod
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 import numpy as np

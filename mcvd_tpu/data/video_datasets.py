@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Optional
-
 import numpy as np
 
 from .h5 import HDF5Dataset

@@ -6,7 +6,7 @@ version: explicit PRNG key, model passed as an apply closure, labels optional.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

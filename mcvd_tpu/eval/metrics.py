@@ -14,7 +14,7 @@ truncate=3.5 -> 11x11) and crop semantics; validated against golden values.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

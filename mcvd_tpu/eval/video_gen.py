@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import logging
 from math import ceil
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Submodules are created in the reference's `all_modules` order and named
 from __future__ import annotations
 
 import functools
-from typing import Any, List, Optional
+from typing import Any, List
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ kernel's shape rule, upfirdn2d_kernel.cu:237-240).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

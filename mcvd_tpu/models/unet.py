@@ -16,7 +16,7 @@ the CPU-friendly arch of configs/smmnist_DDPM_small5.yml. Faithful quirks:
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.resample import setup_kernel, upfirdn2d as upfirdn2d_lax
+from ..models.resample import setup_kernel
 
 
 def upfirdn2d_up2(x: jnp.ndarray, kernel: jnp.ndarray, pad: Tuple[int, int]) -> jnp.ndarray:

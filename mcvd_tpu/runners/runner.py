@@ -11,14 +11,14 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from ..config import getattr_nested, namespace2dict, save_config
+from ..config import getattr_nested
 from ..data import (
     DataLoader,
     conditioning_fn,

@@ -9,10 +9,9 @@ numbered "checkpoint_{step}" directories, Orbax-native.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from .state import TrainState

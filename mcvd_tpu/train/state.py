@@ -8,7 +8,7 @@ fused into the jitted train step.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax
