@@ -280,44 +280,67 @@ def fpndm_sampler(
     x = x_init
     traj = []
 
-    def model(x, t_scalar):
-        labels = jnp.full((B,), t_scalar, dtype=jnp.int32)
+    def model(x, t):
+        labels = jnp.broadcast_to(jnp.asarray(t, jnp.int32), (B,))
         return eps_fn(x, labels)
 
+    # Runge-Kutta warm-up: exactly the first 3 iterations (ets grows by one
+    # per iteration, and the AB branch takes over once len(ets) > 2 —
+    # reference: models/pndm.py:41-52). Only these are Python-unrolled;
+    # the remaining L-3 steps run as one lax.scan with a fixed 3-slot
+    # epsilon-history carry, so the traced program has 12 + 1 model calls
+    # instead of ~4+L (compile-time bomb at subsample=100 on a backend with
+    # 20-500s compile variance).
     ets: list = []
-    # First iterations use RK warm-up until >2 stored epsilons
-    # (reference: models/pndm.py:41-52). Static python loop: the branch
-    # structure is known at trace time.
-    for i, step in enumerate(steps):
+    n_warmup = min(3, len(steps))
+    for i in range(n_warmup):
         t, t_next = steps[i], steps_next[i]
-        if len(ets) > 2:
-            e = model(x, t)
-            ets.append(e)
-            noise = (1.0 / 24) * (
-                55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]
-            )
-            ets = ets[-4:]
-        else:
-            # runge_kutta (reference: models/pndm.py:3-17); t_mid uses integer
-            # label arithmetic as in the reference ((t+t_next)/2 of int tensors
-            # stays float there; labels are cast long -> floor).
-            t_mid = int((t + t_next) / 2)
-            e_1 = model(x, t)
-            ets.append(e_1)
-            x_2 = _pndm_transfer(x, at_of(t), at_of(t_mid), e_1, clip_before)
-            e_2 = model(x_2, t_mid)
-            x_3 = _pndm_transfer(x, at_of(t), at_of(t_mid), e_2, clip_before)
-            e_3 = model(x_3, t_mid)
-            x_4 = _pndm_transfer(x, at_of(t), at_of(t_next), e_3, clip_before)
-            e_4 = model(x_4, t_next)
-            noise = (1.0 / 6) * (e_1 + 2 * e_2 + 2 * e_3 + e_4)
+        # runge_kutta (reference: models/pndm.py:3-17); t_mid uses integer
+        # label arithmetic as in the reference ((t+t_next)/2 of int tensors
+        # stays float there; labels are cast long -> trunc).
+        t_mid = int((t + t_next) / 2)
+        e_1 = model(x, t)
+        ets.append(e_1)
+        x_2 = _pndm_transfer(x, at_of(t), at_of(t_mid), e_1, clip_before)
+        e_2 = model(x_2, t_mid)
+        x_3 = _pndm_transfer(x, at_of(t), at_of(t_mid), e_2, clip_before)
+        e_3 = model(x_3, t_mid)
+        x_4 = _pndm_transfer(x, at_of(t), at_of(t_next), e_3, clip_before)
+        e_4 = model(x_4, t_next)
+        noise = (1.0 / 6) * (e_1 + 2 * e_2 + 2 * e_3 + e_4)
         x = _pndm_transfer(x, at_of(t), at_of(t_next), noise, clip_before)
         if not final_only:
             traj.append(x)
 
+    if len(steps) > n_warmup:
+        rest = slice(n_warmup, None)
+        ts = np.asarray(steps[rest], dtype=np.int32)
+        at_t = alphas_old[ts + 1]
+        at_next = alphas_old[np.asarray(steps_next[rest], dtype=np.int32) + 1]
+
+        def body(carry, sc):
+            x, hist = carry  # hist: (3, B, ...) last three epsilons, oldest first
+            t, a_t, a_next = sc
+            e = model(x, t)
+            # Adams-Bashforth 4th order (reference: models/pndm.py:47)
+            noise = (1.0 / 24) * (
+                55.0 * e - 59.0 * hist[2] + 37.0 * hist[1] - 9.0 * hist[0]
+            )
+            x = _pndm_transfer(x, a_t, a_next, noise, clip_before)
+            hist = jnp.concatenate([hist[1:], e[None]], axis=0)
+            return (x, hist), (x if not final_only else 0.0)
+
+        hist0 = jnp.stack(ets)  # exactly 3 warm-up epsilons, oldest first
+        xs = (jnp.asarray(ts), jnp.asarray(at_t), jnp.asarray(at_next))
+        (x, _), scan_traj = jax.lax.scan(body, (x, hist0), xs)
+        if not final_only:
+            traj = jnp.concatenate([jnp.stack(traj), scan_traj], axis=0)
+    elif not final_only:
+        traj = jnp.stack(traj)
+
     if final_only:
         return x[None]
-    return jnp.stack(traj)
+    return traj
 
 
 def anneal_langevin_dynamics(

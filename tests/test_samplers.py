@@ -223,6 +223,24 @@ def test_fpndm_matches_torch():
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=3e-4, atol=3e-5)
 
 
+def test_fpndm_scan_full_protocol():
+    """subsample=100 jits with O(1) traced model calls (the lax.scan rewrite;
+    the old python-unrolled loop traced ~103 UNet forwards) and the
+    trajectory output stitches warm-up + scan segments correctly."""
+    x0 = _x0()
+    sched = make_schedule(cfg(T=1000, version="FPNDM"))
+    f = jax.jit(
+        lambda x: fpndm_sampler(
+            jax.random.PRNGKey(0), x, eps_fn_jax, sched,
+            subsample_steps=100, final_only=False,
+        )
+    )
+    traj = f(jnp.asarray(x0))
+    assert traj.shape == (100, *x0.shape)
+    ref = torch_fpndm(torch.from_numpy(x0), 1000, 100)
+    np.testing.assert_allclose(np.asarray(traj[-1]), ref.numpy(), rtol=3e-4, atol=3e-5)
+
+
 def test_langevin_smld_zero_noise():
     x0 = _x0()
     sched = make_schedule(cfg(T=10, version="SMLD", dist="geometric"))
