@@ -35,9 +35,16 @@ from .metrics import video_metrics_batch
 logger = logging.getLogger(__name__)
 
 
-def make_block_sampler(config, model, sched: DiffusionSchedule):
+def make_block_sampler(config, model, sched: DiffusionSchedule,
+                       ensemble: bool = False):
     """One jitted reverse-diffusion block over (params, key, init, cond,
-    cond_mask). Returns folded (B, H, W, F*C)."""
+    cond_mask). Returns folded (B, H, W, F*C).
+
+    With ensemble=True, `params` is a STACKED param tree (each leaf has a
+    leading checkpoint axis) and the score-network OUTPUTS are averaged
+    across checkpoints inside eps_fn — the reference's fast_ensemble_fid
+    semantics (ncsn_runner.py:2624-2626: sum(scorenets[i](x,...))/num_ckpts),
+    not an average of final metric scores."""
     version = getattr(config.model, "version", "DDPM").upper()
     sampler = samplers_mod.get_sampler(version)
     sampling = config.sampling
@@ -58,9 +65,18 @@ def make_block_sampler(config, model, sched: DiffusionSchedule):
         kwargs["step_lr"] = getattr(sampling, "step_lr", 8e-6)
 
     def block(params, key, init, cond, cond_mask):
-        def eps_fn(x, labels):
-            return model.apply({"params": params}, x, labels, cond, cond_mask,
+        def apply_one(p, x, labels):
+            return model.apply({"params": p}, x, labels, cond, cond_mask,
                                sched=sched, rng=key)
+
+        if ensemble:
+            def eps_fn(x, labels):
+                eps = jax.vmap(apply_one, in_axes=(0, None, None))(
+                    params, x, labels)
+                return eps.mean(axis=0)
+        else:
+            def eps_fn(x, labels):
+                return apply_one(params, x, labels)
         return sampler(key, init, eps_fn, sched, **kwargs)[-1]
 
     return jax.jit(block)

@@ -307,23 +307,37 @@ class Runner:
 
     def _metric_providers(self):
         """LPIPS/FVD feature extractors: activated when their weight files are
-        available (the reference downloads these at runtime; we accept paths
-        via config.eval.*)."""
-        lpips_fn = i3d_embedder = None
-        lpips_path = getattr_nested(self.config, "eval.lpips_weights")
-        i3d_path = getattr_nested(self.config, "eval.i3d_weights")
-        if i3d_path and os.path.isfile(i3d_path):
-            try:
-                from ..eval.fvd import make_i3d_embedder
+        available (explicit config.eval.* paths, else conventional locations —
+        the reference downloads these at runtime, eval/weights.py)."""
+        from ..eval import weights as W
 
-                i3d_embedder = make_i3d_embedder(i3d_path)
+        lpips_fn = i3d_embedder = None
+        i3d_path = W.find_weights(
+            getattr_nested(self.config, "eval.i3d_weights"), W.I3D)
+        if i3d_path:
+            # TPU-native path: TorchScript state dict -> flax I3D, jitted
+            # on-device; torch-CPU sidecar only as a fallback.
+            try:
+                from ..eval.i3d import make_jax_i3d_embedder
+
+                i3d_embedder = make_jax_i3d_embedder(i3d_path)
             except Exception as e:
-                logger.warning("FVD disabled: %s", e)
-        if lpips_path and os.path.isfile(lpips_path):
+                logger.warning("JAX I3D unavailable (%s); torch sidecar", e)
+                try:
+                    from ..eval.fvd import make_i3d_embedder
+
+                    i3d_embedder = make_i3d_embedder(i3d_path)
+                except Exception as e2:
+                    logger.warning("FVD disabled: %s", e2)
+        lpips_path = W.find_weights(
+            getattr_nested(self.config, "eval.lpips_weights"), W.LPIPS_LIN)
+        if lpips_path:
             try:
                 from ..eval.lpips import make_lpips_fn
 
-                alex_path = getattr_nested(self.config, "eval.lpips_alexnet_weights")
+                alex_path = W.find_weights(
+                    getattr_nested(self.config, "eval.lpips_alexnet_weights"),
+                    W.ALEXNET)
                 lpips_fn = make_lpips_fn(lpips_path, alex_path)
             except Exception as e:
                 logger.warning("LPIPS disabled: %s", e)
@@ -495,20 +509,32 @@ class Runner:
     def fast_fid(self):
         """FID(+P/R) sweep over checkpoints (reference: ncsn_runner.py:2432-2586):
         for each numbered checkpoint, sample num_samples frames, extract
-        Inception features (config.eval.inception_weights sidecar), compute
-        FID + kNN precision/recall against real data features, cache samples
-        and features per checkpoint, write fids.yml."""
+        Inception features (jit-compiled JAX when the weight schema allows,
+        else a torch-CPU sidecar), compute FID + kNN precision/recall against
+        real data features, cache samples and features per checkpoint, write
+        fids.yml. With fast_fid.ensemble, each checkpoint's samples are drawn
+        with the score-network OUTPUTS averaged over a trailing window of up
+        to 5 checkpoints (reference fast_ensemble_fid,
+        ncsn_runner.py:2588-2700)."""
+        from ..eval import weights as W
         from ..eval.fid import get_fid_pr, make_inception_embedder
 
         args, config = self.args, self.config
-        inc_path = getattr_nested(config, "eval.inception_weights")
-        if not (inc_path and os.path.isfile(inc_path)):
+        inc_path = W.find_weights(
+            getattr_nested(config, "eval.inception_weights"), W.INCEPTION)
+        if not inc_path:
             raise FileNotFoundError(
                 "fast_fid needs Inception feature weights: set "
                 "eval.inception_weights (the reference downloads pt_inception "
                 "at runtime; zero-egress here)"
             )
-        embed = make_inception_embedder(inc_path)
+        try:
+            from ..eval.i3d import make_jax_inception_embedder
+
+            embed = make_jax_inception_embedder(inc_path)
+        except Exception as e:
+            logger.warning("JAX Inception unavailable (%s); torch sidecar", e)
+            embed = make_inception_embedder(inc_path)
 
         ff = config.fast_fid
         _, test_ds = get_dataset(args.data_path, config,
@@ -529,7 +555,10 @@ class Runner:
 
         cache_dir = getattr(args, "image_folder", args.log_path)
         os.makedirs(cache_dir, exist_ok=True)
-        block = make_block_sampler(config, self.model, self.sched)
+        ensemble = bool(getattr(ff, "ensemble", False))
+        num_ensembles = int(getattr(ff, "num_ensembles", 5))
+        block = make_block_sampler(config, self.model, self.sched,
+                                   ensemble=ensemble)
         C, F = config.data.channels, config.data.num_frames
 
         fids = {}
@@ -540,11 +569,19 @@ class Runner:
         ) or [None]
         begin = getattr(ff, "begin_ckpt", 0)
         end = getattr(ff, "end_ckpt", 10**12)
-        for s in steps:
-            if s is not None and not (begin <= s <= end):
-                continue
+        eligible = [s for s in steps if s is None or begin <= s <= end]
+        for idx, s in enumerate(eligible):
             params, loaded = self._load_eval_params(s)
-            feats_cache = os.path.join(cache_dir, f"feats_{s or loaded}.npy")
+            tag = s or loaded
+            if ensemble:
+                # trailing window of up to num_ensembles checkpoints ending
+                # at s; eps outputs averaged inside the sampler
+                window = eligible[max(0, idx - (num_ensembles - 1)):idx + 1]
+                trees = [self._load_eval_params(w)[0] for w in window[:-1]]
+                trees.append(params)
+                params = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+                tag = f"{tag}_ens{len(trees)}"
+            feats_cache = os.path.join(cache_dir, f"feats_{tag}.npy")
             if os.path.isfile(feats_cache):
                 feat_g = np.load(feats_cache)
             else:
@@ -574,21 +611,15 @@ class Runner:
                         )
                     )
                 sample_imgs = np.concatenate(samples)[:num_samples]
-                np.save(os.path.join(cache_dir, f"samples_{s or loaded}.npy"), sample_imgs)
+                np.save(os.path.join(cache_dir, f"samples_{tag}.npy"), sample_imgs)
                 feat_g = embed(sample_imgs)
                 np.save(feats_cache, feat_g)
             res = get_fid_pr(feat_r, feat_g, k=k)
             fids[s or loaded] = res
-            logger.info("ckpt %s: %s", s or loaded, res)
+            logger.info("ckpt %s%s: %s", s or loaded,
+                        " (ensemble)" if ensemble else "", res)
 
         out = {int(kk): {m: float(v) for m, v in vv.items()} for kk, vv in fids.items()}
-        if getattr(ff, "ensemble", False) and len(fids) > 1:
-            # fast_ensemble_fid: average scores across checkpoints
-            # (reference: ncsn_runner.py:2624-2626)
-            out["ensemble"] = {
-                m: float(np.mean([v[m] for v in fids.values()]))
-                for m in ("fid", "precision", "recall")
-            }
         with open(os.path.join(args.log_path, "fids.yml"), "w") as f:
             yaml.safe_dump(out, f)
         return out

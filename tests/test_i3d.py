@@ -1,0 +1,167 @@
+"""TPU-native I3D/Inception embedders.
+
+1. The flax InceptionI3d port vs the reference's torch implementation
+   (models/fvd/pytorch_i3d.py) with randomly initialized weights AND
+   randomized BatchNorm running stats (exercises the BN-folding converter).
+2. The simple TorchScript-embedder schema vs the actual TorchScript file,
+   end-to-end through the identical preprocessing.
+3. LPIPS with the REAL weight files (alexnet features + reference lin heads)
+   vs the torch oracle of the reference PNetLin math, on a shape grid.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from mcvd_tpu.eval.i3d import (
+    InceptionI3d,
+    build_jax_embedder_from_state_dict,
+    convert_i3d_state_dict,
+    make_jax_i3d_embedder,
+    preprocess_videos,
+)
+
+REF_I3D = "/root/reference/models/fvd/pytorch_i3d.py"
+WEIGHTS = "/tmp/weights"
+
+
+@pytest.mark.skipif(not os.path.isfile(REF_I3D), reason="reference not present")
+def test_flax_i3d_matches_reference_arch():
+    sys.path.insert(0, os.path.dirname(REF_I3D))
+    try:
+        from pytorch_i3d import InceptionI3d as TorchI3d
+    finally:
+        sys.path.pop(0)
+
+    torch.manual_seed(0)
+    net = TorchI3d(num_classes=400, in_channels=3).eval()
+    # randomize BN running stats so the folding actually gets tested
+    g = torch.Generator().manual_seed(1)
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm3d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) * 0.5 + 0.75)
+            m.weight.data.copy_(torch.rand(m.weight.shape, generator=g) + 0.5)
+            m.bias.data.copy_(torch.randn(m.bias.shape, generator=g) * 0.1)
+
+    x = torch.rand(1, 3, 16, 224, 224, generator=g) * 2 - 1
+    with torch.no_grad():
+        ref = net(x).numpy()  # (B, 400): logits mean over time
+
+    params = convert_i3d_state_dict(net.state_dict())
+    model = InceptionI3d(num_classes=400)
+    got = jax.jit(model.apply)(
+        {"params": params}, jnp.asarray(x.permute(0, 2, 3, 4, 1).numpy())
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.path.join(WEIGHTS, "i3d_torchscript.pt")),
+    reason="no i3d weights file",
+)
+def test_jax_i3d_embedder_matches_torchscript():
+    path = os.path.join(WEIGHTS, "i3d_torchscript.pt")
+    videos = np.random.RandomState(0).rand(3, 16, 64, 64, 1).astype(np.float32)
+
+    embed = make_jax_i3d_embedder(path, batch_size=2)
+    got = embed(videos)
+    assert got.shape == (3, 400)
+
+    # torch oracle: same preprocessing (via our jax preprocess, already
+    # equivalence-relevant: upsampling bilinear half-pixel both sides), then
+    # the actual TorchScript graph
+    ts = torch.jit.load(path).eval()
+    pre = np.asarray(preprocess_videos(jnp.asarray(videos)))  # (B,T,224,224,3)
+    with torch.no_grad():
+        ref = ts(
+            torch.from_numpy(pre).permute(0, 4, 1, 2, 3).contiguous(),
+            rescale=False, resize=False, return_features=True,
+        ).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.path.join(WEIGHTS, "i3d_torchscript.pt")),
+    reason="no i3d weights file",
+)
+def test_jax_preprocess_matches_torch_interpolate():
+    videos = np.random.RandomState(1).rand(2, 4, 64, 64, 3).astype(np.float32)
+    got = np.asarray(preprocess_videos(jnp.asarray(videos)))
+    v = torch.from_numpy(videos).permute(0, 4, 1, 2, 3)  # (B,C,T,H,W)
+    outs = []
+    for b in range(v.shape[0]):
+        x = torch.nn.functional.interpolate(
+            v[b], size=(224, 224), mode="bilinear", align_corners=False
+        )
+        outs.append((x - 0.5) * 2)
+    ref = torch.stack(outs).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.path.join(WEIGHTS, "inception.pt")),
+    reason="no inception weights file",
+)
+def test_jax_inception_embedder_matches_torchscript():
+    path = os.path.join(WEIGHTS, "inception.pt")
+    from mcvd_tpu.eval.i3d import load_embedder_spec
+
+    sd, spec = load_embedder_spec(path)
+    model, params = build_jax_embedder_from_state_dict(sd, spec)
+    imgs = np.random.RandomState(2).rand(4, 64, 64, 3).astype(np.float32)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(imgs)))
+
+    ts = torch.jit.load(path).eval()
+    with torch.no_grad():
+        ref = ts(torch.from_numpy(imgs).permute(0, 3, 1, 2).contiguous()).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    not (os.path.isfile(os.path.join(WEIGHTS, "alexnet.pth"))
+         and os.path.isfile(os.path.join(WEIGHTS, "lpips_alex_lin.pth"))),
+    reason="no real LPIPS weights",
+)
+@pytest.mark.parametrize("hw", [(64, 64), (128, 128), (67, 93)])
+def test_lpips_real_weights_shape_grid(hw):
+    """Flax LPIPS with the REAL alexnet+lin weights vs the torch oracle of
+    the reference PNetLin math (networks_basic.py:25), across shapes.
+    Tolerance: fp32, rtol 1e-3 (documents the port's fidelity)."""
+    from test_lpips import TorchAlexLPIPSOracle
+
+    from mcvd_tpu.eval.lpips import LPIPSAlex, convert_lpips_weights
+
+    alex_sd = torch.load(os.path.join(WEIGHTS, "alexnet.pth"),
+                         map_location="cpu", weights_only=False)
+    lin_sd = torch.load(os.path.join(WEIGHTS, "lpips_alex_lin.pth"),
+                        map_location="cpu", weights_only=False)
+
+    oracle = TorchAlexLPIPSOracle().eval()
+    feature_idx = [0, 3, 6, 8, 10]
+    with torch.no_grad():
+        for i, fi in enumerate(feature_idx):
+            oracle.convs[i].weight.copy_(alex_sd[f"features.{fi}.weight"])
+            oracle.convs[i].bias.copy_(alex_sd[f"features.{fi}.bias"])
+        for kk in range(5):
+            oracle.lins[kk].copy_(lin_sd[f"lin{kk}.model.1.weight"].reshape(-1))
+
+    H, W = hw
+    g = torch.Generator().manual_seed(3)
+    a = torch.rand(2, 3, H, W, generator=g) * 2 - 1
+    b = torch.rand(2, 3, H, W, generator=g) * 2 - 1
+    with torch.no_grad():
+        ref = oracle(a, b).numpy()
+
+    params = convert_lpips_weights(alex_sd, lin_sd)
+    got = jax.jit(LPIPSAlex().apply)(
+        {"params": params},
+        jnp.asarray(a.permute(0, 2, 3, 1).numpy()),
+        jnp.asarray(b.permute(0, 2, 3, 1).numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-3, atol=1e-5)

@@ -87,6 +87,45 @@ def test_interp_pred_gen_all_passes():
         assert np.isfinite(vm[k])
 
 
+def test_ensemble_block_sampler_averages_eps():
+    """ensemble=True averages score-network OUTPUTS across stacked param
+    trees inside the sampler (reference fast_ensemble_fid semantics,
+    ncsn_runner.py:2616-2630) — verified against a hand-built mean-eps
+    closure run through the same sampler."""
+    from mcvd_tpu.diffusion import samplers as samplers_mod
+    from mcvd_tpu.eval.video_gen import make_block_sampler
+
+    config = make_config()
+    model = get_model(config)
+    sched = make_schedule(config)
+    B = 2
+    x = jnp.zeros((B, 16, 16, config.data.num_frames))
+    cond = jnp.zeros((B, 16, 16, config.data.num_frames_cond))
+    y = jnp.zeros((B,), jnp.int32)
+    p1 = jax.jit(model.init)(jax.random.PRNGKey(1), x, y, cond)["params"]
+    p2 = jax.jit(model.init)(jax.random.PRNGKey(2), x, y, cond)["params"]
+    stacked = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), p1, p2)
+
+    key = jax.random.PRNGKey(3)
+    init = jax.random.normal(jax.random.PRNGKey(4), x.shape)
+    got = make_block_sampler(config, model, sched, ensemble=True)(
+        stacked, key, init, cond, None
+    )
+
+    def mean_eps(xx, labels):
+        e1 = model.apply({"params": p1}, xx, labels, cond, None, sched=sched)
+        e2 = model.apply({"params": p2}, xx, labels, cond, None, sched=sched)
+        return 0.5 * (e1 + e2)
+
+    want = samplers_mod.ddpm_sampler(
+        key, init, mean_eps, sched,
+        subsample_steps=config.sampling.subsample, final_only=True,
+        denoise=True, clip_before=True, t_min=-1,
+    )[-1]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_slide_cond_window_future_aware():
     config = make_config(future=1)
     B, sz, C = 2, 4, 1
