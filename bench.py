@@ -30,8 +30,16 @@ def main():
 
     from mcvd_tpu import ops
 
-    # fused attention kernel: +10% end-to-end on the sampling block (TPU only)
-    ops.set_use_pallas(jax.default_backend() != "cpu")
+    # Kernel/dtype picks, each measured end-to-end on TPU v5e (bf16, B=16):
+    #   * bf16 score-network compute: 7.0 -> 6.6 ms/eval
+    #   * Pallas fused GroupNorm: 7.3 -> 6.1 ms/eval (XLA GN loses e2e
+    #     despite winning in isolation — layout/fusion interactions)
+    #   * Pallas attention: wins in fp32, loses slightly to XLA in bf16
+    #   * Winograd conv (ops/winograd.py): wins isolated, loses 2x e2e
+    #     (transform slices break XLA's VMEM-resident scheduling) — off
+    on_tpu = jax.default_backend() != "cpu"
+    ops.set_use_pallas(False)
+    ops.set_use_pallas(on_tpu, kinds=("groupnorm",))
 
     from __graft_entry__ import _flagship_config
     from mcvd_tpu.diffusion import make_schedule
@@ -44,6 +52,10 @@ def main():
     subsample = 100
     config.sampling.subsample = subsample
     config.sampling.num_frames_pred = num_frames_pred
+    # bf16 inference: the TPU-idiomatic counterpart of the reference's
+    # TF32-on-A100 conv path (similar mantissa class); sampler chain math
+    # stays fp32 (video_gen.make_block_sampler)
+    config.sampling.compute_dtype = "bfloat16"
 
     model = get_model(config)
     sched = make_schedule(config)
@@ -64,7 +76,7 @@ def main():
     ops.set_use_pallas(False)
     fwd = jax.jit(lambda p, x, y, c: model.apply({"params": p}, x, y, c))
     flops_fwd = fwd.lower(params, x, y, cond).compile().cost_analysis()["flops"]
-    ops.set_use_pallas(jax.default_backend() != "cpu")
+    ops.set_use_pallas(on_tpu, kinds=("groupnorm",))
 
     block_sampler = make_block_sampler(config, model, sched)
 

@@ -25,6 +25,8 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import math
+
 import numpy as np
 
 from . import resample
@@ -50,11 +52,44 @@ def nearest_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+class _Conv2dMaybeWinograd(nn.Conv):
+    """nn.Conv that routes stride-1 SAME 3x3 convs through the Winograd
+    F(2,3) path when ops.use_pallas('winograd') is on (ops/winograd.py).
+    Same param structure/paths as nn.Conv, so checkpoint conversion and
+    goldens are unaffected; the flag only changes the compute."""
+
+    @nn.compact
+    def __call__(self, x):
+        from .. import ops as _ops
+
+        strides = self.strides if isinstance(self.strides, tuple) else (
+            (self.strides,) * 2 if self.strides else (1, 1))
+        if (
+            _ops.use_pallas("winograd")
+            and tuple(self.kernel_size) == (3, 3)
+            and tuple(strides) == (1, 1)
+            and x.ndim == 4
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            kernel = self.param(
+                "kernel", self.kernel_init,
+                (3, 3, x.shape[-1], self.features), self.param_dtype,
+            )
+            y = _ops.winograd.conv3x3_winograd(x, kernel.astype(x.dtype))
+            if self.use_bias:
+                bias = self.param("bias", self.bias_init, (self.features,),
+                                  self.param_dtype)
+                y = y + bias.astype(y.dtype)
+            return y
+        return super().__call__(x)
+
+
 def Conv2dSame(out_ch: int, kernel: int = 3, init_scale: float = 1.0,
                stride: int = 1, bias: bool = True, name: Optional[str] = None):
     """3x3/1x1 DDPM-init conv (reference: layers.py:89-118). A plain nn.Conv
     so flax param paths mirror torch attribute paths (compat/torch_ckpt.py)."""
-    return nn.Conv(
+    return _Conv2dMaybeWinograd(
         out_ch,
         (kernel, kernel),
         strides=(stride, stride),
@@ -254,9 +289,15 @@ class AttnBlock(nn.Module):
         shape = x.shape
         B = shape[0]
         h = GroupNorm(channels=C, eps=1e-6, name="GroupNorm_0")(x)
-        q = NIN(C, name="NIN_0")(h)
-        k = NIN(C, name="NIN_1")(h)
-        v = NIN(C, name="NIN_2")(h)
+        # q/k/v as ONE matmul (C -> 3C): triples the MXU lane fill vs three
+        # C->C matmuls; params stay three separate NINs for checkpoint parity
+        Wq, bq = NIN(C, name="NIN_0")(h, return_params=True)
+        Wk, bk = NIN(C, name="NIN_1")(h, return_params=True)
+        Wv, bv = NIN(C, name="NIN_2")(h, return_params=True)
+        W_qkv = jnp.concatenate([Wq, Wk, Wv], axis=1).astype(h.dtype)
+        b_qkv = jnp.concatenate([bq, bk, bv]).astype(h.dtype)
+        qkv = jnp.tensordot(h, W_qkv, axes=1) + b_qkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         hd = C // n_heads
         tokens = int(np.prod(shape[1:-1]))
@@ -286,7 +327,7 @@ class AttnBlock(nn.Module):
         h = NIN(C, init_scale=self.init_scale, name="NIN_3")(h)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) / math.sqrt(2.0)
 
 
 class AttnBlock3d(nn.Module):
@@ -674,7 +715,7 @@ class ResnetBlockBigGAN(nn.Module):
 
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) / math.sqrt(2.0)
 
 
 class ResnetBlockDDPM(nn.Module):
@@ -747,4 +788,4 @@ class ResnetBlockDDPM(nn.Module):
                 x = NIN(out_ch, name="NIN_0")(x)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) / math.sqrt(2.0)

@@ -60,12 +60,14 @@ def group_norm(
     GN+affine+act kernel (ops/groupnorm.py).
     """
     orig_shape = x.shape
+    orig_dtype = x.dtype
     B = x.shape[0]
     CN = x.shape[-1]
     C = CN // frames_last
     G = num_groups
-    # (B, spatial..., C*N) -> (B, S, G, C/G, N)
-    xr = x.reshape(B, -1, G, C // G, frames_last)
+    # (B, spatial..., C*N) -> (B, S, G, C/G, N); stats in fp32 so bf16
+    # activations don't lose precision over large reductions
+    xr = x.reshape(B, -1, G, C // G, frames_last).astype(jnp.float32)
     mean = xr.mean(axis=(1, 3, 4), keepdims=True)
     var = xr.var(axis=(1, 3, 4), keepdims=True)
     xr = (xr - mean) * jax.lax.rsqrt(var + eps)
@@ -75,7 +77,7 @@ def group_norm(
         g = jnp.repeat(gamma, frames_last) if frames_last > 1 else gamma
         b = jnp.repeat(beta, frames_last) if frames_last > 1 else beta
         out = out * g + b
-    return out
+    return out.astype(orig_dtype)
 
 
 class GroupNorm(nn.Module):
@@ -129,10 +131,14 @@ class NIN(nn.Module):
     init_scale: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         in_dim = x.shape[-1]
         W = self.param("W", default_init(self.init_scale), (in_dim, self.num_units))
         b = self.param("b", nn.initializers.zeros, (self.num_units,))
+        if return_params:
+            # caller fuses several NIN matmuls into one (AttnBlock qkv
+            # projection); param path/shape identical to the plain call
+            return W, b
         return jnp.tensordot(x, W, axes=1) + b
 
 

@@ -260,7 +260,9 @@ class NCSNpp(nn.Module):
         # time embedding
         if self.conditional:
             timesteps = time_cond
-            temb = get_timestep_embedding(timesteps, self.nf)
+            # sinusoid in fp32 for accuracy, then the model compute dtype
+            # (bf16 inference keeps everything downstream bf16)
+            temb = get_timestep_embedding(timesteps, self.nf).astype(x.dtype)
             temb = modules[m_idx](temb)
             m_idx += 1
             temb = modules[m_idx](self.act(temb))

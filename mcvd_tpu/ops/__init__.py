@@ -8,9 +8,9 @@ GroupNorm kernel has a custom VJP and is training-safe; attention is
 forward-only (eval paths).
 """
 
-from . import attention, fused_act, groupnorm, upfirdn
+from . import attention, fused_act, groupnorm, upfirdn, winograd
 
-_KINDS = ("attention", "groupnorm")
+_KINDS = ("attention", "groupnorm", "winograd")
 _USE: dict = {k: False for k in _KINDS}
 
 

@@ -48,10 +48,12 @@ def _kernel(x_ref, M_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
     b = pl.program_id(0)
     x = x_ref[0]                      # (H, W, CN) — no reshape copies: keep
     M = M_ref[:]                      # the working set at ~in+out+1 temp
-    # per-channel sums over (H, W), then per-group via MXU
-    s1 = jnp.dot(x.sum(axis=(0, 1))[None, :], M,
+    # stats in fp32 regardless of input dtype (bf16 sums over H*W would lose
+    # precision); per-channel sums over (H, W), then per-group via MXU
+    xf = x.astype(jnp.float32)
+    s1 = jnp.dot(xf.sum(axis=(0, 1))[None, :], M,
                  preferred_element_type=jnp.float32)          # (1, G)
-    s2 = jnp.dot(jnp.sum(x * x, axis=(0, 1))[None, :], M,
+    s2 = jnp.dot(jnp.sum(xf * xf, axis=(0, 1))[None, :], M,
                  preferred_element_type=jnp.float32)          # (1, G)
     mean_g = s1 / n_per_group
     var_g = s2 / n_per_group - mean_g * mean_g
@@ -66,7 +68,7 @@ def _kernel(x_ref, M_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
         y = y * (1.0 + scale_ref[b]) + shift_ref[b]
     if act:
         y = y * jax.nn.sigmoid(y)     # SiLU
-    o_ref[0] = y
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 def fused_group_norm(
@@ -218,7 +220,7 @@ _fused_group_norm_diff.defvjp(_fgn_fwd, _fgn_bwd)
 
 
 def _stats_kernel(x_ref, M_ref, o_ref):
-    x = x_ref[0]  # (Ht, W, CN)
+    x = x_ref[0].astype(jnp.float32)  # (Ht, W, CN); stats always in fp32
     M = M_ref[:]
     s1 = jnp.dot(x.sum(axis=(0, 1))[None, :], M,
                  preferred_element_type=jnp.float32)
@@ -238,7 +240,7 @@ def _norm_kernel(x_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, scale_ref,
         y = y * (1.0 + scale_ref[b]) + shift_ref[b]
     if act:
         y = y * jax.nn.sigmoid(y)
-    o_ref[0] = y
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 def _pick_h_tile(H: int, W: int, CN: int, budget: int = 1 << 20) -> int:
@@ -293,8 +295,11 @@ def _fused_group_norm_tiled(x, gamma, beta, scale, shift, *, num_groups, eps,
         b_cn = jnp.zeros((CN,), x.dtype)
     has_emb = scale is not None
     if not has_emb:
-        scale = jnp.zeros((B, CN), x.dtype)
-        shift = jnp.zeros((B, CN), x.dtype)
+        scale = jnp.zeros((B, CN), jnp.float32)
+        shift = jnp.zeros((B, CN), jnp.float32)
+    else:
+        scale = scale.astype(jnp.float32)
+        shift = shift.astype(jnp.float32)
 
     kernel = functools.partial(_norm_kernel, act=act, has_emb=has_emb,
                                has_affine=has_affine)
@@ -338,13 +343,14 @@ def _fused_group_norm_impl(
 ) -> jnp.ndarray:
     interpret = interpret or jax.default_backend() == "cpu"
     _, H_, W_, CN_ = x.shape
-    if H_ * W_ * CN_ * 4 > SINGLE_PASS_MAX_BLOCK:
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if H_ * W_ * CN_ * itemsize > SINGLE_PASS_MAX_BLOCK:
         return _fused_group_norm_tiled(
             x, gamma, beta, scale, shift, num_groups=num_groups, eps=eps,
             frames_last=frames_last, act=act, interpret=interpret,
         )
     B, H, W, CN = x.shape
-    bytes_needed = H * W * CN * 4 * 2
+    bytes_needed = H * W * CN * itemsize * 2
     if bytes_needed > VMEM_BUDGET_BYTES:
         out = group_norm_reference(
             x, num_groups, eps=eps, gamma=gamma, beta=beta, frames_last=frames_last
@@ -368,8 +374,13 @@ def _fused_group_norm_impl(
         b_cn = jnp.zeros((CN,), x.dtype)
     has_emb = scale is not None
     if not has_emb:
-        scale = jnp.zeros((B, CN), x.dtype)
-        shift = jnp.zeros((B, CN), x.dtype)
+        scale = jnp.zeros((B, CN), jnp.float32)
+        shift = jnp.zeros((B, CN), jnp.float32)
+    else:
+        # row-indexed (scale_ref[b]) blocks must be fp32: Mosaic can't prove
+        # dynamic row alignment under bf16's (16, 128) tiling
+        scale = scale.astype(jnp.float32)
+        shift = shift.astype(jnp.float32)
 
     kernel = functools.partial(
         _kernel, eps=eps, act=act, n_per_group=n_per_group,

@@ -143,3 +143,42 @@ def test_fused_attention_gradients_match_reference():
     gb = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
+def test_winograd_conv3x3_matches_lax():
+    """Winograd F(2,3) (ops/winograd.py) vs lax.conv SAME/stride-1 across
+    shapes and dtypes; also through the model's _Conv2dMaybeWinograd flag."""
+    from mcvd_tpu import ops as ops_pkg
+    from mcvd_tpu.ops.winograd import conv3x3_winograd
+
+    rng = np.random.RandomState(11)
+    for B, H, W, Ci, Co in [(2, 8, 8, 5, 7), (1, 16, 12, 16, 16), (3, 4, 6, 3, 2)]:
+        x32 = jnp.asarray(rng.randn(B, H, W, Ci).astype(np.float32))
+        w32 = jnp.asarray(rng.randn(3, 3, Ci, Co).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x32, w32, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        got = conv3x3_winograd(x32, w32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        got_bf = conv3x3_winograd(x32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16))
+        assert got_bf.dtype == jnp.bfloat16
+        # bf16 Winograd noise is ~2x direct-bf16 conv noise (pre-summed
+        # transform terms round before the MXU accumulate)
+        np.testing.assert_allclose(np.asarray(got_bf, dtype=np.float32),
+                                   np.asarray(ref), rtol=0.15, atol=0.5)
+
+    # flagged model conv path produces identical params + matching output
+    from mcvd_tpu.models.blocks import Conv2dSame
+
+    x = jnp.asarray(rng.randn(2, 8, 8, 6).astype(np.float32))
+    conv = Conv2dSame(out_ch=4, kernel=3)
+    params = conv.init(jax.random.PRNGKey(0), x)
+    base = conv.apply(params, x)
+    try:
+        ops_pkg.set_use_pallas(True, kinds=("winograd",))
+        flagged = conv.apply(params, x)
+    finally:
+        ops_pkg.set_use_pallas(False, kinds=("winograd",))
+    np.testing.assert_allclose(np.asarray(flagged), np.asarray(base),
+                               rtol=1e-4, atol=1e-4)

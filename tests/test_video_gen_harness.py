@@ -126,6 +126,33 @@ def test_ensemble_block_sampler_averages_eps():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_block_sampler_bf16_compute_dtype():
+    """sampling.compute_dtype='bfloat16' runs the score network in bf16
+    (sampler chain math stays fp32) and stays close to the fp32 result."""
+    from mcvd_tpu.eval.video_gen import make_block_sampler
+
+    config = make_config()
+    model = get_model(config)
+    sched = make_schedule(config)
+    B = 2
+    x = jnp.zeros((B, 16, 16, config.data.num_frames))
+    cond = jax.random.normal(jax.random.PRNGKey(5),
+                             (B, 16, 16, config.data.num_frames_cond))
+    y = jnp.zeros((B,), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), x, y, cond)["params"]
+    key = jax.random.PRNGKey(2)
+    init = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+
+    f32 = make_block_sampler(config, model, sched)(params, key, init, cond, None)
+    config.sampling.compute_dtype = "bfloat16"
+    bf16 = make_block_sampler(config, model, sched)(params, key, init, cond, None)
+    assert bf16.dtype == jnp.float32  # chain math stays fp32
+    assert np.isfinite(np.asarray(bf16)).all()
+    # same chain, reduced-precision eps: outputs stay close after clipping
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32),
+                               rtol=0.2, atol=0.2)
+
+
 def test_slide_cond_window_future_aware():
     config = make_config(future=1)
     B, sz, C = 2, 4, 1
