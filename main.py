@@ -44,9 +44,34 @@ def parse_args_and_config():
     parser.add_argument("--resume_training", action="store_true")
     parser.add_argument("-i", "--image_folder", type=str, default="images")
     parser.add_argument("-v", "--video_folder", type=str, default="videos")
-    parser.add_argument("--ckpt", type=int, default=None)
+    parser.add_argument("--ckpt", type=int, default=None,
+                        help="Checkpoint # to load from (sample/video_gen/test/fast_fid)")
+    parser.add_argument("--end_ckpt", type=int, default=None,
+                        help="Checkpoint # to sweep until (test/fast_fid)")
+    parser.add_argument("--freq", type=int, default=None,
+                        help="Checkpoint sweep frequency (test/fast_fid)")
     parser.add_argument("--start_at", type=int, default=0)
+    parser.add_argument("--subsample", type=int, default=None,
+                        help="Override config.sampling.subsample")
+    parser.add_argument("--final_only", type=eval, default=None,
+                        choices=[True, False],
+                        help="Save only the final image vs all sampling steps")
+    parser.add_argument("--no_ema", action="store_true",
+                        help="Don't use the EMA weights for eval")
+    parser.add_argument("--fid_num_samples", type=int, default=None,
+                        help="Override config.fast_fid.num_samples")
+    parser.add_argument("--fid_batch_size", type=int, default=None,
+                        help="Override config.fast_fid.batch_size")
+    parser.add_argument("--no_pr", action="store_true",
+                        help="Skip precision/recall in fast_fid (FID only)")
+    parser.add_argument("--pr_nn_k", type=int, default=None,
+                        help="Override config.fast_fid.pr_nn_k")
+    parser.add_argument("--feats_dir", type=str, default=None,
+                        help="Dir with precomputed real Inception features (.npy)")
+    parser.add_argument("--stats_dir", type=str, default=None,
+                        help="Dir with precomputed FID stats (.npz: mu, sigma)")
     parser.add_argument("--ni", action="store_true", help="No interaction")
+    parser.add_argument("--interact", action="store_true", help="(no-op, parity)")
     parser.add_argument("--config_mod", nargs="*", default=[],
                         help="Overrides: section.key=value ...")
     args = parser.parse_args()
@@ -54,6 +79,19 @@ def parse_args_and_config():
     with open(args.config, "r") as f:
         config = dict2namespace(yaml.safe_load(f))
     config = apply_config_mods(config, args.config_mod)
+    # flag-level overrides (reference: main.py:129-151 semantics)
+    if args.subsample is not None:
+        config.sampling.subsample = args.subsample
+    if args.final_only is not None:
+        config.sampling.final_only = args.final_only
+    if args.no_ema:
+        config.model.ema = False
+    if args.fid_num_samples is not None:
+        config.fast_fid.num_samples = args.fid_num_samples
+    if args.fid_batch_size is not None:
+        config.fast_fid.batch_size = args.fid_batch_size
+    if args.pr_nn_k is not None:
+        config.fast_fid.pr_nn_k = args.pr_nn_k
     config = validate_config(config)
 
     args.log_path = os.path.join(args.exp, "logs")
@@ -92,7 +130,8 @@ def main():
         elif args.sample:
             runner.sample(ckpt=args.ckpt)
         elif args.test:
-            runner.test()
+            runner.test(begin_ckpt=args.ckpt, end_ckpt=args.end_ckpt,
+                        freq=args.freq)
         elif args.fast_fid:
             runner.fast_fid()
         else:

@@ -21,7 +21,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = False, num_processes: int = 1, process_index: int = 0,
-                 repeat: bool = False):
+                 repeat: bool = False, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -30,6 +30,14 @@ class DataLoader:
         self.num_processes = num_processes
         self.process_index = process_index
         self.repeat = repeat
+        self.num_workers = num_workers
+        self._pool = None
+        if num_workers > 0:
+            # thread pool (not processes): h5py/np decode releases the GIL,
+            # and threads share the dataset's open shard handles
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
         self._epoch = 0
 
     def __len__(self):
@@ -60,7 +68,11 @@ class DataLoader:
                 if hasattr(self.dataset, "get_batch"):
                     yield self.dataset.get_batch(chunk)
                     continue
-                items = [self.dataset[int(j)] for j in chunk]
+                if self._pool is not None:
+                    items = list(self._pool.map(
+                        lambda j: self.dataset[int(j)], chunk))
+                else:
+                    items = [self.dataset[int(j)] for j in chunk]
                 if isinstance(items[0], tuple):
                     xs = np.stack([it[0] for it in items])
                     ys = np.asarray([it[1] for it in items])

@@ -337,10 +337,20 @@ def run_video_gen(
             emb["fake3"].append(i3d_embedder(p53[:, :T3]))
 
         if save_artifacts is not None and i == 0:
+            # first-batch artifacts for every executed pass (reference dumps
+            # all three passes' grids/gifs, ncsn_runner.py:1984-2190)
             save_artifacts(
                 real=real, pred=pred,
                 cond=np.asarray(inverse_data_transform(config, cond)) if cond is not None else None,
             )
+            if second_calc:
+                save_artifacts(
+                    real=real2, pred=pred2,
+                    cond=np.asarray(inverse_data_transform(config, cond2)) if cond2 is not None else None,
+                    tag="pass2",
+                )
+            if calc_fvd3:
+                save_artifacts(real=None, pred=pred3, cond=None, tag="gen")
 
     # ---- aggregate: best-of-preds_per_test (reference: ncsn_runner.py:2196-2229)
     mse_arr = np.asarray(vid["mse"])

@@ -39,7 +39,36 @@ def init_meters() -> Dict[str, RunningAverageMeter]:
     for task in ("", "2", "3"):
         for metric in ("mse", "psnr", "ssim", "lpips", "fvd"):
             names.append(f"{metric}{task}_meter")
-    return {n: RunningAverageMeter() for n in names}
+    meters: Dict = {n: RunningAverageMeter() for n in names}
+    # best-ever per metric with the step it occurred (reference:
+    # ncsn_runner.py:542-584, 2296-2365) — the "which checkpoint is best"
+    # signal for model selection
+    meters["best"] = {}
+    return meters
+
+
+# lower-is-better unless listed here
+_HIGHER_BETTER = {"psnr", "ssim"}
+
+
+def update_best(meters: Dict, metrics: Dict, step: int) -> Dict:
+    """Track best-ever value+step per metric key (mse, psnr, ssim2, fvd3...).
+    Returns the dict of bests. Tolerates meters pickled before this field
+    existed."""
+    best = meters.setdefault("best", {})
+    for name, val in metrics.items():
+        base = name.rstrip("23")
+        if base not in ("mse", "psnr", "ssim", "lpips", "fvd"):
+            continue
+        try:
+            val = float(val)
+        except (TypeError, ValueError):
+            continue
+        hi = base in _HIGHER_BETTER
+        cur = best.get(name)
+        if cur is None or (val > cur["value"] if hi else val < cur["value"]):
+            best[name] = {"value": val, "step": int(step)}
+    return best
 
 
 def save_meters(meters: Dict, log_path: str):

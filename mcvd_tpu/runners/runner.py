@@ -87,11 +87,12 @@ class Runner:
     def train(self):
         args, config = self.args, self.config
         if getattr(config.model, "use_pallas", True) and jax.default_backend() != "cpu":
-            # both fused kernels now carry custom VJPs -> training-safe
-            # (GN +5% step time, attention ~+1%)
+            # GN + attention kernels carry custom VJPs -> training-safe
+            # (GN +5% step time, attention ~+1%); winograd stays off (slower
+            # end-to-end, see ops/winograd.py)
             from .. import ops
 
-            ops.set_use_pallas(True)
+            ops.set_use_pallas(True, kinds=("groupnorm", "attention"))
         train_ds, test_ds = get_dataset(
             args.data_path, config, video_frames_pred=config.data.num_frames
         )
@@ -104,10 +105,20 @@ class Runner:
                                       config.data.num_frames),
         )
         bs = config.training.batch_size
+        # per-host input sharding: each process loads a disjoint 1/process_count
+        # slice of the dataset (SURVEY §2.5 TPU plan; the reference is
+        # single-process DataParallel and has no analog)
+        num_workers = int(getattr(config.data, "num_workers", 0) or 0)
         loader = DataLoader(train_ds, batch_size=bs, shuffle=True, seed=getattr(args, "seed", 0),
-                            drop_last=True, repeat=True)
+                            drop_last=True, repeat=True,
+                            num_processes=jax.process_count(),
+                            process_index=jax.process_index(),
+                            num_workers=num_workers)
         test_loader = DataLoader(test_ds, batch_size=bs, shuffle=True,
-                                 seed=getattr(args, "seed", 0) + 1, drop_last=True, repeat=True)
+                                 seed=getattr(args, "seed", 0) + 1, drop_last=True, repeat=True,
+                                 num_processes=jax.process_count(),
+                                 process_index=jax.process_index(),
+                                 num_workers=num_workers)
         test_iter = iter(test_loader)
 
         rng = jax.random.PRNGKey(getattr(args, "seed", 0))
@@ -195,9 +206,16 @@ class Runner:
                     try:
                         vm = self._video_gen_inner(state, eval_test_ds, train=True, ckpt=step)
                         logger.info("snapshot metrics @%d: %s", step, vm)
-                        for name in ("mse", "psnr", "ssim", "lpips", "fvd"):
-                            if vm and name in vm:
-                                meters[f"{name}_meter"].update(vm[name], step)
+                        for task in ("", "2", "3"):
+                            for name in ("mse", "psnr", "ssim", "lpips", "fvd"):
+                                if vm and f"{name}{task}" in vm:
+                                    meters[f"{name}{task}_meter"].update(
+                                        vm[f"{name}{task}"], step)
+                        best = meters_mod.update_best(meters, vm or {}, step)
+                        logger.info("best so far: %s", best)
+                        with open(os.path.join(args.log_path, "best_metrics.yml"),
+                                  "w") as f:
+                            yaml.safe_dump(best, f)
                     except Exception as e:  # eval must not kill training
                         logger.exception("in-training video_gen failed: %s", e)
         checkpoints.save_checkpoint(self._ckpt_dir(), state)
@@ -252,13 +270,13 @@ class Runner:
         )
 
     def _enable_eval_kernels(self):
-        """Pallas fused kernels for inference paths (+~30% sampling
-        throughput). Eval-only: the kernels have no custom VJPs, training
-        keeps the XLA path."""
+        """Pallas fused kernels for inference paths (bench.py documents the
+        per-kernel end-to-end measurements; winograd stays off — slower
+        end-to-end despite winning isolated microbenches)."""
         from .. import ops
 
         if getattr(self.config.model, "use_pallas", True) and jax.default_backend() != "cpu":
-            ops.set_use_pallas(True)
+            ops.set_use_pallas(True, kinds=("groupnorm", "attention"))
 
     def video_gen(self, ckpt: Optional[int] = None):
         args, config = self.args, self.config
@@ -277,7 +295,7 @@ class Runner:
         out_dir = getattr(args, "video_folder", args.log_path)
         os.makedirs(out_dir, exist_ok=True)
 
-        def save_artifacts(real=None, pred=None, cond=None):
+        def save_artifacts(real=None, pred=None, cond=None, tag=""):
             from ..data.conditioning import unfold_frames
             C = config.data.channels
 
@@ -286,8 +304,9 @@ class Runner:
                     return None
                 return np.asarray(unfold_frames(jnp.asarray(a), a.shape[-1] // C))
 
+            suffix = f"_{tag}" if tag else ""
             plots.save_video_grid(
-                os.path.join(out_dir, f"videos_{ckpt or step}"),
+                os.path.join(out_dir, f"videos_{ckpt or step}{suffix}"),
                 pred=unfold(pred), real=unfold(real), cond=unfold(cond),
             )
 
@@ -356,6 +375,8 @@ class Runner:
             return self._sample_inpainting(ckpt)
         if getattr(config.sampling, "interpolation", False):
             return self._sample_interpolation(ckpt)
+        if getattr(config.sampling, "fid", False):
+            return self._sample_fid_loop(ckpt)
         params, step = self._load_eval_params(ckpt)
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
@@ -385,6 +406,47 @@ class Runner:
         )
         logger.info("wrote samples to %s", out_dir)
         return gen
+
+    def _sample_fid_loop(self, ckpt: Optional[int] = None):
+        """Bulk sample dump for offline FID (reference: ncsn_runner.py:1190-1301,
+        the sampling.fid branch): generate sampling.num_samples4fid frames in
+        batches — conditioned on shuffled test clips when the model is
+        conditional — and write them under image_folder as npz shards."""
+        args, config = self.args, self.config
+        params, step = self._load_eval_params(ckpt)
+        total = getattr(config.sampling, "num_samples4fid", 10000)
+        bs = getattr(config.sampling, "batch_size", 16)
+        n_rounds = max(1, total // bs)
+        conditional = config.data.num_frames_cond > 0
+        _, test_ds = get_dataset(args.data_path, config,
+                                 video_frames_pred=config.data.num_frames)
+        data_iter = iter(DataLoader(test_ds, batch_size=bs, shuffle=True,
+                                    seed=getattr(args, "seed", 0), repeat=True))
+        block = make_block_sampler(config, self.model, self.sched)
+        out_dir = getattr(args, "image_folder", args.log_path)
+        os.makedirs(out_dir, exist_ok=True)
+        key = jax.random.PRNGKey(getattr(args, "seed", 0))
+        C, F, sz = config.data.channels, config.data.num_frames, config.data.image_size
+        n_written = 0
+        for i in range(n_rounds):
+            cond = cond_mask = None
+            if conditional:
+                X, _ = next(data_iter)
+                Xt = data_transform(config, jnp.asarray(X))
+                _, cond, cond_mask = conditioning_fn(
+                    config, Xt, key=jax.random.PRNGKey(i),
+                    num_frames_pred=F, conditional=True,
+                )
+            key, k1, k2 = jax.random.split(key, 3)
+            init = init_noise(k1, config, self.sched, (bs, sz, sz, C * F))
+            gen = block(params, k2, init, cond, cond_mask)
+            gen = np.asarray(inverse_data_transform(config, gen))
+            np.savez(os.path.join(out_dir, f"fid_samples_{ckpt or step}_{i:05d}.npz"),
+                     samples=gen)
+            n_written += len(gen)
+        logger.info("wrote %d FID sample batches (%d videos) to %s",
+                    n_rounds, n_written, out_dir)
+        return n_written
 
     def _eps_closure(self, params, cond=None, cond_mask=None):
         def eps_fn(x, labels):
@@ -465,8 +527,12 @@ class Runner:
 
     # ------------------------------------------------------------------ test
 
-    def test(self, begin_ckpt: Optional[int] = None, end_ckpt: Optional[int] = None):
-        """Checkpoint-sweep average DSM test loss (reference: ncsn_runner.py:2370-2430)."""
+    def test(self, begin_ckpt: Optional[int] = None, end_ckpt: Optional[int] = None,
+             freq: Optional[int] = None):
+        """Checkpoint-sweep average DSM test loss over the FULL test split
+        (reference: ncsn_runner.py:2370-2430). `config.test.max_batches`
+        (default: unlimited) can cap it for smoke runs; `freq` thins the
+        checkpoint sweep like the reference's --freq."""
         args, config = self.args, self.config
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
@@ -474,6 +540,7 @@ class Runner:
         loader = DataLoader(test_ds, batch_size=bs, shuffle=False, drop_last=True)
         eval_fn = make_eval_loss_step(self.model, self.sched, config, mesh=self.mesh)
         sharding = data_sharding(self.mesh)
+        max_batches = getattr(config.test, "max_batches", None)
 
         results = {}
         ckpt_dir = self._ckpt_dir()
@@ -489,11 +556,13 @@ class Runner:
             s for s in steps
             if (begin_ckpt is None or s >= begin_ckpt) and (end_ckpt is None or s <= end_ckpt)
         ) or [None]
+        if freq and len(steps) > 1:
+            steps = [s for i, s in enumerate(steps) if i % freq == 0]
         for s in steps:
             params, loaded_step = self._load_eval_params(s)
             losses = []
             for i, (X, _) in enumerate(iter(loader)):
-                if i >= 8:
+                if max_batches is not None and i >= max_batches:
                     break
                 Xd = jax.device_put(jnp.asarray(X), sharding)
                 losses.append(float(eval_fn(params, Xd, jax.random.PRNGKey(i))))
@@ -542,16 +611,30 @@ class Runner:
         num_samples = getattr(ff, "num_samples", 1000)
         bs = min(getattr(ff, "batch_size", 100), num_samples)
         k = getattr(ff, "pr_nn_k", 3)
+        no_pr = bool(getattr(args, "no_pr", False))
 
-        # real features
-        loader = DataLoader(test_ds, batch_size=bs, shuffle=False)
-        reals = []
-        for X, _ in iter(loader):
-            reals.append(X.reshape(-1, *X.shape[2:]))
-            if sum(len(r) for r in reals) >= num_samples:
-                break
-        real_imgs = np.concatenate(reals)[:num_samples]
-        feat_r = embed(real_imgs)
+        # real features: precomputed (--feats_dir, reference fid_PR.py
+        # feats-path registry) or embedded from the test split and cached
+        feat_r = None
+        ds_name = getattr(config.data, "dataset", "data")
+        feats_dir = getattr(args, "feats_dir", None)
+        if feats_dir:
+            p = os.path.join(feats_dir, f"{ds_name}_feats.npy")
+            if os.path.isfile(p):
+                feat_r = np.load(p)
+                logger.info("loaded real features from %s", p)
+        if feat_r is None:
+            loader = DataLoader(test_ds, batch_size=bs, shuffle=False)
+            reals = []
+            for X, _ in iter(loader):
+                reals.append(X.reshape(-1, *X.shape[2:]))
+                if sum(len(r) for r in reals) >= num_samples:
+                    break
+            real_imgs = np.concatenate(reals)[:num_samples]
+            feat_r = embed(real_imgs)
+            if feats_dir:
+                os.makedirs(feats_dir, exist_ok=True)
+                np.save(os.path.join(feats_dir, f"{ds_name}_feats.npy"), feat_r)
 
         cache_dir = getattr(args, "image_folder", args.log_path)
         os.makedirs(cache_dir, exist_ok=True)
@@ -567,9 +650,12 @@ class Runner:
             int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
             if d.startswith("checkpoint_")
         ) or [None]
-        begin = getattr(ff, "begin_ckpt", 0)
-        end = getattr(ff, "end_ckpt", 10**12)
+        begin = getattr(args, "ckpt", None) or getattr(ff, "begin_ckpt", 0)
+        end = getattr(args, "end_ckpt", None) or getattr(ff, "end_ckpt", 10**12)
         eligible = [s for s in steps if s is None or begin <= s <= end]
+        freq = getattr(args, "freq", None)
+        if freq and len(eligible) > 1:
+            eligible = [s for i, s in enumerate(eligible) if i % freq == 0]
         for idx, s in enumerate(eligible):
             params, loaded = self._load_eval_params(s)
             tag = s or loaded
@@ -614,7 +700,14 @@ class Runner:
                 np.save(os.path.join(cache_dir, f"samples_{tag}.npy"), sample_imgs)
                 feat_g = embed(sample_imgs)
                 np.save(feats_cache, feat_g)
-            res = get_fid_pr(feat_r, feat_g, k=k)
+            if no_pr:
+                from ..eval.fid import activation_statistics, calculate_frechet_distance
+
+                mu_r, sig_r = activation_statistics(feat_r)
+                mu_g, sig_g = activation_statistics(feat_g)
+                res = {"fid": calculate_frechet_distance(mu_r, sig_r, mu_g, sig_g)}
+            else:
+                res = get_fid_pr(feat_r, feat_g, k=k)
             fids[s or loaded] = res
             logger.info("ckpt %s%s: %s", s or loaded,
                         " (ensemble)" if ensemble else "", res)

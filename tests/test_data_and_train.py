@@ -175,3 +175,48 @@ def test_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert int(restored.step) == 0
+
+
+def test_loader_per_host_shards_disjoint_and_complete():
+    """2-process sharding: each host sees a disjoint slice; union covers the
+    dataset (SURVEY §2.5 TPU plan: host data loading sharded per process)."""
+    from mcvd_tpu.data.loader import DataLoader
+
+    class Idx:
+        def __len__(self):
+            return 37
+
+        def __getitem__(self, i):
+            return np.full((2, 2), i, np.float32), i
+
+    seen = []
+    for pi in (0, 1):
+        dl = DataLoader(Idx(), batch_size=4, shuffle=True, seed=7,
+                        num_processes=2, process_index=pi)
+        ids = []
+        for xs, ys in iter(dl):
+            ids += [int(y) for y in np.atleast_1d(ys)]
+        seen.append(set(ids))
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == set(range(37))
+
+
+def test_loader_num_workers_matches_serial():
+    """Thread-pool batch assembly yields identical batches in identical
+    order (deterministic shuffle, ordered pool.map)."""
+    from mcvd_tpu.data.loader import DataLoader
+
+    class Sq:
+        def __len__(self):
+            return 19
+
+        def __getitem__(self, i):
+            return np.full((3,), i * i, np.float32), i
+
+    a = [b for b in iter(DataLoader(Sq(), batch_size=5, shuffle=True, seed=3))]
+    b = [b for b in iter(DataLoader(Sq(), batch_size=5, shuffle=True, seed=3,
+                                    num_workers=4))]
+    assert len(a) == len(b)
+    for (xa, ya), (xb, yb) in zip(a, b):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
