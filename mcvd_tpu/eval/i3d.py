@@ -263,6 +263,23 @@ def load_embedder_weights(path: str):
     return sd
 
 
+def _strip_wrapper_prefixes(sd):
+    """TorchScript archives often nest the net under a wrapper submodule
+    ('inner.', 'module.', 'i3d.', ...). Strip shared leading components
+    until the keys match a known schema (at most 2 levels)."""
+    for _ in range(2):
+        try:
+            _detect_schema(sd)
+            return sd
+        except ValueError:
+            pass
+        firsts = {k.split(".", 1)[0] for k in sd}
+        if len(firsts) != 1 or not all("." in k for k in sd):
+            return sd
+        sd = {k.split(".", 1)[1]: v for k, v in sd.items()}
+    return sd
+
+
 def load_embedder_spec(path: str):
     """(state_dict, conv_spec) from a TorchScript archive or torch ckpt.
     conv_spec carries the script Conv module's stride/padding when present
@@ -279,11 +296,11 @@ def load_embedder_spec(path: str):
                     spec[attr] = tuple(getattr(conv, attr))
                 except Exception:
                     pass
-        return mod.state_dict(), spec
+        return _strip_wrapper_prefixes(mod.state_dict()), spec
     except Exception:
         obj = torch.load(path, map_location="cpu", weights_only=False)
         sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
-        return sd, {}
+        return _strip_wrapper_prefixes(sd), {}
 
 
 def preprocess_videos(videos: jnp.ndarray, resolution: int = 224) -> jnp.ndarray:

@@ -3,8 +3,15 @@
 The reference's only parallelism is single-process torch DataParallel
 (SURVEY.md §2.5); the TPU-native equivalent is a jax.sharding.Mesh over ICI
 with the batch sharded on a 'data' axis and params replicated — pjit inserts
-the gradient all-reduce. The mesh is built N-D-ready: extra axes ('tensor',
-...) can be added for >1-chip models later without touching the train step.
+the gradient all-reduce.
+
+For the big configs (128px, ngf>=192: cityscapes/ucf) a second 'tensor'
+mesh axis shards the activations' H dimension (sequence/spatial
+parallelism): convs get their halo exchanges, and norms/attention their
+cross-shard reductions, from the GSPMD partitioner — no hand-written
+collectives. Params stay replicated (27-360M params fit per chip; it is
+activations at 128px that don't). Build with
+make_mesh(axis_names=("data","tensor"), shape=(d, t)).
 """
 
 from __future__ import annotations
@@ -32,3 +39,19 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def has_tensor_axis(mesh: Optional[Mesh]) -> bool:
+    return (mesh is not None and "tensor" in mesh.axis_names
+            and mesh.shape["tensor"] > 1)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, h_axis: Optional[int] = None) -> NamedSharding:
+    """Sharding for an activation batch: axis 0 over 'data' and, when the
+    mesh has a non-trivial 'tensor' axis, the H axis over 'tensor'
+    (spatial parallelism). h_axis defaults to ndim-3 (..., H, W, C)."""
+    spec = [None] * ndim
+    spec[0] = "data"
+    if has_tensor_axis(mesh):
+        spec[ndim - 3 if h_axis is None else h_axis] = "tensor"
+    return NamedSharding(mesh, P(*spec))

@@ -32,6 +32,7 @@ from ..diffusion import make_schedule
 from ..eval.video_gen import make_block_sampler, init_noise, run_video_gen
 from ..models import get_model
 from ..parallel import data_sharding, make_mesh
+from ..parallel.mesh import batch_sharding as mesh_batch_sharding
 from ..train import (
     checkpoints,
     create_train_state,
@@ -52,7 +53,16 @@ class Runner:
         self.version = getattr(config.model, "version", "DDPM").upper()
         self.mode_pred, self.mode_interp, self.mode_gen = get_mode(config)
         os.makedirs(args.log_path, exist_ok=True)
-        self.mesh = make_mesh(axis_names=("data",))
+        # config.parallel.tensor > 1 adds a 'tensor' mesh axis that shards
+        # activations' H (spatial parallelism) for the 128px/ngf>=192 configs;
+        # GSPMD inserts conv halos + norm/attention reductions.
+        tensor = int(getattr(getattr(config, "parallel", None), "tensor", 1) or 1)
+        n_dev = len(jax.devices())
+        if tensor > 1 and n_dev % tensor == 0:
+            self.mesh = make_mesh(axis_names=("data", "tensor"),
+                                  shape=(n_dev // tensor, tensor))
+        else:
+            self.mesh = make_mesh(axis_names=("data",))
         self.sched = make_schedule(config)
         self.model = get_model(config)
         self.start_time = time.time()
@@ -89,10 +99,15 @@ class Runner:
         if getattr(config.model, "use_pallas", True) and jax.default_backend() != "cpu":
             # GN + attention kernels carry custom VJPs -> training-safe
             # (GN +5% step time, attention ~+1%); winograd stays off (slower
-            # end-to-end, see ops/winograd.py)
+            # end-to-end, see ops/winograd.py). With a 'tensor' (spatial)
+            # mesh axis the pallas GN would reduce over LOCAL H shards only
+            # — keep the XLA GN there (GSPMD all-reduces it correctly).
             from .. import ops
+            from ..parallel.mesh import has_tensor_axis
 
-            ops.set_use_pallas(True, kinds=("groupnorm", "attention"))
+            kinds = ("attention",) if has_tensor_axis(self.mesh) else (
+                "groupnorm", "attention")
+            ops.set_use_pallas(True, kinds=kinds)
         train_ds, test_ds = get_dataset(
             args.data_path, config, video_frames_pred=config.data.num_frames
         )
@@ -316,7 +331,8 @@ class Runner:
             ckpt=ckpt or step, max_data_iter=getattr(config.sampling, "max_data_iter", 1),
             preds_per_test=preds_per_test, lpips_fn=lpips_fn,
             i3d_embedder=i3d_embedder, save_artifacts=save_artifacts,
-            batch_sharding=data_sharding(self.mesh) if self.mesh.devices.size > 1 else None,
+            batch_sharding=mesh_batch_sharding(self.mesh, 5, h_axis=2)
+            if self.mesh.devices.size > 1 else None,
         )
         with open(os.path.join(out_dir, "vid_metrics.yml"), "w") as f:
             yaml.safe_dump({k: float(v) if isinstance(v, (int, float, np.floating)) else v

@@ -19,6 +19,7 @@ from ..data.conditioning import conditioning_fn
 from ..data.transforms import data_transform
 from ..diffusion.loss import dsm_loss
 from ..diffusion.schedules import DiffusionSchedule
+from ..parallel.mesh import batch_sharding, has_tensor_axis
 from .state import TrainState, make_optimizer
 
 
@@ -95,8 +96,11 @@ def make_train_step(model, sched: DiffusionSchedule, config, mesh: Optional[Mesh
         return new_state, {"loss": loss, "grad_norm": grad_norm}
 
     if mesh is not None:
+        # X is (B,T,H,W,C): batch over 'data'; with a non-trivial 'tensor'
+        # axis also H over 'tensor' (spatial parallelism — GSPMD inserts the
+        # conv halos and the norm/attention cross-shard reductions).
         repl = NamedSharding(mesh, P())
-        batch_sh = NamedSharding(mesh, P("data"))
+        batch_sh = batch_sharding(mesh, 5, h_axis=2)
         return jax.jit(
             step,
             in_shardings=(repl, batch_sh, repl),
@@ -115,7 +119,7 @@ def make_eval_loss_step(model, sched: DiffusionSchedule, config,
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        batch_sh = NamedSharding(mesh, P("data"))
+        batch_sh = batch_sharding(mesh, 5, h_axis=2)
         return jax.jit(eval_step, in_shardings=(repl, batch_sh, repl),
                        out_shardings=repl)
     return jax.jit(eval_step)

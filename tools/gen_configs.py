@@ -121,11 +121,15 @@ CONFIGS = {
         "model": {"ngf": 32, "ch_mult": [1, 2, 2, 2], "num_res_blocks": 3,
                   "n_head_channels": 64},
     }),
+    # 128px / ngf>=192 configs: add a 2-way 'tensor' (spatial-H) mesh axis —
+    # activations at 128px dominate memory; GSPMD shards them and inserts
+    # conv halos + norm reductions (tests/test_tensor_parallel.py).
     "cityscapes_big": deep_update(copy.deepcopy(BIG), {
         "data": {"dataset": "Cityscapes", "image_size": 128, "channels": 3,
                  "color_jitter": 0.0, "num_frames_cond": 2},
         "model": {"dropout": 0.0, "ngf": 128, "ch_mult": [1, 1, 2, 3, 4],
                   "n_head_channels": 128},
+        "parallel": {"tensor": 2},
     }),
     "cityscapes_big_spade": deep_update(copy.deepcopy(BIG), {
         "training": {"batch_size": 32},
@@ -133,11 +137,13 @@ CONFIGS = {
                  "color_jitter": 0.0, "num_frames_cond": 2},
         "model": {"dropout": 0.0, "ngf": 192, "ch_mult": [1, 1, 2, 3, 4],
                   "n_head_channels": 192, "spade": True, "spade_dim": 256},
+        "parallel": {"tensor": 2},
     }),
     "ucf101": deep_update(copy.deepcopy(BIG), {
         "data": {"dataset": "UCF101", "channels": 3, "color_jitter": 0.0,
                  "num_workers": 4, "num_frames": 4, "num_frames_cond": 4},
         "model": {"ngf": 192},
+        "parallel": {"tensor": 2},
     }),
 }
 
