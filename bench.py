@@ -30,16 +30,17 @@ def main():
 
     from mcvd_tpu import ops
 
-    # Kernel/dtype picks, each measured end-to-end on TPU v5e (bf16, B=16):
+    # Kernel/dtype picks, each measured end-to-end on TPU v5e (bf16, B=16;
+    # log in BENCH_NOTES.md):
     #   * bf16 score-network compute: 7.0 -> 6.6 ms/eval
-    #   * Pallas fused GroupNorm: 7.3 -> 6.1 ms/eval (XLA GN loses e2e
-    #     despite winning in isolation — layout/fusion interactions)
+    #   * dot-stats XLA GroupNorm (layers.group_norm_folded): 5.98 -> 4.15
+    #     ms/eval — a pallas GN forces {3,2,1,0}<->{3,0,2,1} relayouts
+    #     around EVERY conv (tools/profile_trace.py); the dot-stats GN fuses
+    #     into the conv inputs instead. All pallas kernels stay OFF on the
+    #     inference path.
     #   * Pallas attention: wins in fp32, loses slightly to XLA in bf16
     #   * Winograd conv (ops/winograd.py): wins isolated, loses 2x e2e
-    #     (transform slices break XLA's VMEM-resident scheduling) — off
-    on_tpu = jax.default_backend() != "cpu"
     ops.set_use_pallas(False)
-    ops.set_use_pallas(on_tpu, kinds=("groupnorm",))
 
     from __graft_entry__ import _flagship_config
     from mcvd_tpu.diffusion import make_schedule
@@ -73,10 +74,8 @@ def main():
 
     # model FLOPs for the analytic A100 anchor (XLA path: pallas kernel flops
     # are invisible to cost_analysis and would understate the anchor)
-    ops.set_use_pallas(False)
     fwd = jax.jit(lambda p, x, y, c: model.apply({"params": p}, x, y, c))
     flops_fwd = fwd.lower(params, x, y, cond).compile().cost_analysis()["flops"]
-    ops.set_use_pallas(on_tpu, kinds=("groupnorm",))
 
     block_sampler = make_block_sampler(config, model, sched)
 

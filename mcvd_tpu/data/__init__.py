@@ -79,20 +79,23 @@ def get_dataset(data_path, config, video_frames_pred=0, start_at=0, seed=0):
             total_videos=256, seed=seed + 1,
         )
     elif name == "KTH":
+        cache_mb = getattr(config.data, "cache_mb", 1024)
         dataset = KTHDataset(
             data_path, frames_per_sample=frames_per_sample, train=True,
             random_time=True, random_horizontal_flip=config.data.random_flip, seed=seed,
+            cache_mb=cache_mb,
         )
         test_dataset = KTHDataset(
             data_path, frames_per_sample=frames_per_sample, train=False,
             random_time=True, random_horizontal_flip=False, total_videos=256,
-            start_at=start_at, seed=seed + 1,
+            start_at=start_at, seed=seed + 1, cache_mb=cache_mb,
         )
     elif name == "BAIR":
         dataset = BAIRDataset(
             os.path.join(data_path, "train"), frames_per_sample=frames_per_sample,
             random_time=True, random_horizontal_flip=config.data.random_flip,
             color_jitter=getattr(config.data, "color_jitter", 0.0), seed=seed,
+            cache_mb=getattr(config.data, "cache_mb", 1024),
         )
         test_dataset = BAIRDataset(
             os.path.join(data_path, "test"), frames_per_sample=frames_per_sample,
@@ -104,6 +107,7 @@ def get_dataset(data_path, config, video_frames_pred=0, start_at=0, seed=0):
             os.path.join(data_path, "train"), frames_per_sample=frames_per_sample,
             random_time=True, random_horizontal_flip=config.data.random_flip,
             color_jitter=getattr(config.data, "color_jitter", 0.0), seed=seed,
+            cache_mb=getattr(config.data, "cache_mb", 1024),
         )
         test_dataset = CityscapesDataset(
             os.path.join(data_path, "test"), frames_per_sample=frames_per_sample,
@@ -115,6 +119,7 @@ def get_dataset(data_path, config, video_frames_pred=0, start_at=0, seed=0):
             data_path, frames_per_sample=frames_per_sample,
             image_size=config.data.image_size, train=True, random_time=True,
             random_horizontal_flip=config.data.random_flip, seed=seed,
+            cache_mb=getattr(config.data, "cache_mb", 1024),
         )
         test_dataset = UCF101Dataset(
             data_path, frames_per_sample=frames_per_sample,

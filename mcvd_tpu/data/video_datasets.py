@@ -9,8 +9,11 @@ multiple loader workers.
 
 from __future__ import annotations
 
+import collections
 import os
 import pickle
+import threading
+
 import numpy as np
 
 from .h5 import HDF5Dataset
@@ -67,9 +70,19 @@ def _hue_jitter(video: np.ndarray, max_hue: float, rng) -> np.ndarray:
 
 
 class _BaseVideoDataset:
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, cache_mb: int = 1024):
         self._seed = seed
         self._epoch = 0
+        # decoded-video LRU cache: the reference h5 layout stores every frame
+        # as its own lzf dataset, so a random 15-frame window costs ~15
+        # dataset opens + decompressions. Decoding the WHOLE video once and
+        # caching it amortizes that across epochs (SURVEY hard part #5;
+        # tools/bench_loader.py measures the effect). Budgeted in MB, thread
+        # safe (the DataLoader worker pool shares the dataset).
+        self._cache_budget = int(cache_mb * 1e6)
+        self._cache = collections.OrderedDict()
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -79,6 +92,27 @@ class _BaseVideoDataset:
             np.random.SeedSequence([self._seed, self._epoch, int(index)])
         )
 
+    def _cached_video(self, key, load_fn):
+        """load_fn() -> tuple whose np.ndarray members count toward the
+        budget. LRU-evicted under the byte budget; budget<=0 disables."""
+        if self._cache_budget <= 0:
+            return load_fn()
+        with self._cache_lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
+        val = load_fn()  # outside the lock: slow h5 reads run concurrently
+        nbytes = sum(v.nbytes for v in val if isinstance(v, np.ndarray))
+        with self._cache_lock:
+            if key not in self._cache:
+                self._cache[key] = val
+                self._cache_bytes += nbytes
+                while self._cache_bytes > self._cache_budget and len(self._cache) > 1:
+                    _, old = self._cache.popitem(last=False)
+                    self._cache_bytes -= sum(
+                        v.nbytes for v in old if isinstance(v, np.ndarray))
+        return val
+
 
 class KTHDataset(_BaseVideoDataset):
     """Reference: datasets/kth.py:14-81. Person-based split via persons.pkl;
@@ -86,8 +120,8 @@ class KTHDataset(_BaseVideoDataset):
 
     def __init__(self, data_dir, frames_per_sample=5, train=True, random_time=True,
                  random_horizontal_flip=True, total_videos=-1, with_target=True,
-                 start_at=0, seed=0):
-        super().__init__(seed)
+                 start_at=0, seed=0, cache_mb=1024):
+        super().__init__(seed, cache_mb=cache_mb)
         self.data_dir = data_dir
         self.train = train
         self.frames_per_sample = frames_per_sample
@@ -116,17 +150,23 @@ class KTHDataset(_BaseVideoDataset):
         shard_idx, idx_in_shard = self.videos_ds.get_indices(video_index)
         idx = (self.train_idx if self.train else self.test_idx)[int(idx_in_shard)]
 
-        frames = []
         flip = rng.integers(2) == 0 if self.random_horizontal_flip else False
-        with self.videos_ds.opener(self.videos_ds.shard_paths[shard_idx]) as f:
-            video_len = int(f["len"][str(idx)][()]) - self.start_at
-            if self.random_time and video_len > self.frames_per_sample:
-                time_idx = int(rng.choice(video_len - self.frames_per_sample))
-            time_idx += self.start_at
-            for i in range(time_idx, min(time_idx + self.frames_per_sample, video_len)):
-                frames.append(_to_float01(f[str(idx)][str(i)][()]))
-            target = int(f["target"][str(idx)][()])
-        video = np.stack(frames)
+
+        def load():
+            with self.videos_ds.opener(self.videos_ds.shard_paths[shard_idx]) as f:
+                n = int(f["len"][str(idx)][()])
+                frames = np.stack([f[str(idx)][str(i)][()] for i in range(n)])
+                target = int(f["target"][str(idx)][()])
+            return frames, target
+
+        frames_all, target = self._cached_video((shard_idx, idx), load)
+        video_len = frames_all.shape[0] - self.start_at
+        if self.random_time and video_len > self.frames_per_sample:
+            time_idx = int(rng.choice(video_len - self.frames_per_sample))
+        time_idx += self.start_at
+        # end bound is video_len (NOT raw length): reference kth.py quirk
+        end = min(time_idx + self.frames_per_sample, video_len)
+        video = np.stack([_to_float01(fr) for fr in frames_all[time_idx:end]])
         if flip:
             video = _hflip(video)
         return (video, target) if self.with_target else video
@@ -137,8 +177,8 @@ class BAIRDataset(_BaseVideoDataset):
 
     def __init__(self, data_path, frames_per_sample=5, random_time=True,
                  random_horizontal_flip=True, color_jitter=0.0, total_videos=-1,
-                 with_target=True, seed=0):
-        super().__init__(seed)
+                 with_target=True, seed=0, cache_mb=1024):
+        super().__init__(seed, cache_mb=cache_mb)
         self.frames_per_sample = frames_per_sample
         self.random_time = random_time
         self.random_horizontal_flip = random_horizontal_flip
@@ -157,15 +197,21 @@ class BAIRDataset(_BaseVideoDataset):
         rng = self._rng(index)
         video_index = round(index / max(len(self) - 1, 1) * (self.max_index() - 1))
         shard_idx, idx_in_shard = self.videos_ds.get_indices(video_index)
-        frames = []
         flip = rng.integers(2) == 0 if self.random_horizontal_flip else False
-        with self.videos_ds.opener(self.videos_ds.shard_paths[shard_idx]) as f:
-            video_len = int(f["len"][str(idx_in_shard)][()])
-            if self.random_time and video_len > self.frames_per_sample:
-                time_idx = int(rng.choice(video_len - self.frames_per_sample))
-            for i in range(time_idx, min(time_idx + self.frames_per_sample, video_len)):
-                frames.append(_to_float01(f[str(idx_in_shard)][str(i)][()]))
-        video = np.stack(frames)
+
+        def load():
+            with self.videos_ds.opener(self.videos_ds.shard_paths[shard_idx]) as f:
+                n = int(f["len"][str(idx_in_shard)][()])
+                frames = np.stack(
+                    [f[str(idx_in_shard)][str(i)][()] for i in range(n)])
+            return (frames,)
+
+        (frames_all,) = self._cached_video((shard_idx, idx_in_shard), load)
+        video_len = frames_all.shape[0]
+        if self.random_time and video_len > self.frames_per_sample:
+            time_idx = int(rng.choice(video_len - self.frames_per_sample))
+        end = min(time_idx + self.frames_per_sample, video_len)
+        video = np.stack([_to_float01(fr) for fr in frames_all[time_idx:end]])
         if flip:
             video = _hflip(video)
         video = _hue_jitter(video, self.color_jitter, rng)
@@ -183,8 +229,8 @@ class UCF101Dataset(_BaseVideoDataset):
 
     def __init__(self, data_path, frames_per_sample=5, image_size=64, train=True,
                  random_time=True, random_horizontal_flip=True, total_videos=-1,
-                 skip_videos=0, with_target=True, seed=0):
-        super().__init__(seed)
+                 skip_videos=0, with_target=True, seed=0, cache_mb=1024):
+        super().__init__(seed, cache_mb=cache_mb)
         self.train = train
         self.frames_per_sample = frames_per_sample
         self.image_size = image_size
@@ -219,16 +265,22 @@ class UCF101Dataset(_BaseVideoDataset):
             crop_c = int((width - self.image_size) / 2)
         flip = rng.integers(2) == 0 if self.random_horizontal_flip else False
 
-        frames = []
-        with self.videos_ds.opener(self.videos_ds.shard_paths[shard_idx]) as f:
-            target = int(f["target"][str(idx_in_shard)][()])
-            video_len = int(f["len"][str(idx_in_shard)][()])
-            if self.random_time and video_len > self.frames_per_sample:
-                time_idx = int(rng.choice(video_len - self.frames_per_sample))
-            for i in range(time_idx, min(time_idx + self.frames_per_sample, video_len)):
-                img = f[str(idx_in_shard)][str(i)][()]
-                frames.append(_to_float01(img[:, crop_c : crop_c + self.image_size]))
-        video = np.stack(frames)
+        def load():
+            with self.videos_ds.opener(self.videos_ds.shard_paths[shard_idx]) as f:
+                target = int(f["target"][str(idx_in_shard)][()])
+                n = int(f["len"][str(idx_in_shard)][()])
+                frames = np.stack(
+                    [f[str(idx_in_shard)][str(i)][()] for i in range(n)])
+            return frames, target
+
+        frames_all, target = self._cached_video((shard_idx, idx_in_shard), load)
+        video_len = frames_all.shape[0]
+        if self.random_time and video_len > self.frames_per_sample:
+            time_idx = int(rng.choice(video_len - self.frames_per_sample))
+        end = min(time_idx + self.frames_per_sample, video_len)
+        video = np.stack(
+            [_to_float01(fr[:, crop_c : crop_c + self.image_size])
+             for fr in frames_all[time_idx:end]])
         if flip:
             video = _hflip(video)
         return (video, target) if self.with_target else video

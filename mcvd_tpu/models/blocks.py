@@ -30,7 +30,8 @@ import math
 import numpy as np
 
 from . import resample
-from .layers import NIN, GroupNorm, default_init, group_norm, num_groups_for
+from .layers import (NIN, GroupNorm, default_init, group_norm,
+                     group_norm_folded, num_groups_for)
 
 Act = Callable[[jnp.ndarray], jnp.ndarray]
 
@@ -513,6 +514,18 @@ class ActNorm(nn.Module):
                     x, num_groups_for(C), eps=1e-5, scale=scale_cn,
                     shift=shift_cn, frames_last=N_, act=True,
                 )
+            if self.norm == "group":
+                # XLA path: MXU-dot stats + one folded FMA (+SiLU when the
+                # act is SiLU) — fuses into the consuming conv's input with
+                # no pallas layout constraints (layers.group_norm_folded)
+                scale_cn = jnp.repeat(scale, N, axis=-1) if N > 1 else scale
+                shift_cn = jnp.repeat(shift, N, axis=-1) if N > 1 else shift
+                fold_act = self.act is jax.nn.silu
+                xn, _, _ = group_norm_folded(
+                    x, num_groups_for(C), eps=1e-5, scale=scale_cn,
+                    shift=shift_cn, frames_last=N, act=fold_act,
+                )
+                return xn if fold_act else self.act(xn)
             if self.is3d:
                 B = x.shape[0]
                 scale = scale.reshape(B, 1, 1, C, 1)

@@ -9,12 +9,14 @@ jax.nn.initializers.variance_scaling directly.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def default_init(scale: float = 1.0):
@@ -59,25 +61,77 @@ def group_norm(
     This is also the lax reference implementation for the Pallas fused
     GN+affine+act kernel (ops/groupnorm.py).
     """
-    orig_shape = x.shape
+    y, _, _ = group_norm_folded(x, num_groups, eps=eps, gamma=gamma,
+                                beta=beta, frames_last=frames_last)
+    return y
+
+
+@functools.lru_cache(maxsize=None)
+def _gn_group_matrix(CN: int, G: int, frames_last: int) -> np.ndarray:
+    """One-hot (CN, G): channel-major folded index c*N+n -> group of c."""
+    C = CN // frames_last
+    cg = C // G
+    M = np.zeros((CN, G), np.float32)
+    for idx in range(CN):
+        M[idx, (idx // frames_last) // cg] = 1.0
+    return M
+
+
+def group_norm_folded(
+    x: jnp.ndarray,
+    num_groups: int,
+    *,
+    eps: float = 1e-6,
+    gamma: Optional[jnp.ndarray] = None,
+    beta: Optional[jnp.ndarray] = None,
+    scale: Optional[jnp.ndarray] = None,   # (B, CN) AdaGN
+    shift: Optional[jnp.ndarray] = None,
+    frames_last: int = 1,
+    act: bool = False,
+):
+    """GroupNorm(+affine)(+AdaGN)(+SiLU) with XLA-friendly structure.
+
+    Stats run as MXU dots (sum over spatial via a ones-vector contraction,
+    then channel->group via a one-hot matrix) instead of VPU reshape/reduce
+    chains, and the whole normalize/affine/AdaGN tail is folded into ONE
+    per-(b,channel) FMA `x*A + B` — a pure elementwise op XLA fuses into the
+    consuming conv's input, with no layout constraints (a pallas kernel here
+    forces {3,2,1,0} relayouts around every conv; see tools/profile_trace.py).
+    Returns (y, A, B)."""
     orig_dtype = x.dtype
     B = x.shape[0]
     CN = x.shape[-1]
-    C = CN // frames_last
     G = num_groups
-    # (B, spatial..., C*N) -> (B, S, G, C/G, N); stats in fp32 so bf16
-    # activations don't lose precision over large reductions
-    xr = x.reshape(B, -1, G, C // G, frames_last).astype(jnp.float32)
-    mean = xr.mean(axis=(1, 3, 4), keepdims=True)
-    var = xr.var(axis=(1, 3, 4), keepdims=True)
-    xr = (xr - mean) * jax.lax.rsqrt(var + eps)
-    out = xr.reshape(orig_shape)
+    S = int(np.prod(x.shape[1:-1]))
+    M = jnp.asarray(_gn_group_matrix(CN, G, frames_last))
+
+    xf = x.reshape(B, S, CN).astype(jnp.float32)
+    ones = jnp.ones((S,), jnp.float32)
+    s1c = jnp.einsum("bsc,s->bc", xf, ones)            # (B, CN) on the MXU
+    s2c = jnp.einsum("bsc,s->bc", xf * xf, ones)
+    n = S * (CN // G)
+    s1g = s1c @ M                                       # (B, G)
+    s2g = s2c @ M
+    mean_g = s1g / n
+    var_g = s2g / n - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    A = rstd_g @ M.T                                    # (B, CN)
+    Bc = (-mean_g * rstd_g) @ M.T
     if gamma is not None:
-        # gamma/beta are per true-channel C (torch GroupNorm affine): expand to C*N
         g = jnp.repeat(gamma, frames_last) if frames_last > 1 else gamma
         b = jnp.repeat(beta, frames_last) if frames_last > 1 else beta
-        out = out * g + b
-    return out.astype(orig_dtype)
+        A = A * g
+        Bc = Bc * g + b
+    if scale is not None:
+        e = 1.0 + scale.astype(jnp.float32)
+        A = A * e
+        Bc = Bc * e + shift.astype(jnp.float32)
+    y = x.astype(jnp.float32) * A[:, None, :].reshape(
+        (B, *([1] * (x.ndim - 2)), CN)) + Bc[:, None, :].reshape(
+        (B, *([1] * (x.ndim - 2)), CN))
+    if act:
+        y = jax.nn.silu(y)
+    return y.astype(orig_dtype), A, Bc
 
 
 class GroupNorm(nn.Module):

@@ -61,11 +61,21 @@ def _kernel(x_ref, M_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
     # broadcast back per channel: (1,G) @ (G,CN), applied along lanes
     mean_c = jnp.dot(mean_g, M.T, preferred_element_type=jnp.float32)[0]  # (CN,)
     rstd_c = jnp.dot(rstd_g, M.T, preferred_element_type=jnp.float32)[0]
-    y = (x - mean_c) * rstd_c
+    # fold normalize+affine+AdaGN into ONE per-channel FMA: y = A*x + B.
+    # The kernel is VPU-bound (tools/profile_gn2.py), so collapsing the
+    # elementwise chain is the main win; A/B are (CN,) vectors, cheap.
+    A = rstd_c
+    Bc = -mean_c * rstd_c
     if has_affine:
-        y = y * gamma_ref[:] + beta_ref[:]
+        A = A * gamma_ref[:]
+        Bc = Bc * gamma_ref[:] + beta_ref[:]
     if has_emb:
-        y = y * (1.0 + scale_ref[b]) + shift_ref[b]
+        e = 1.0 + scale_ref[b]
+        A = A * e
+        Bc = Bc * e + shift_ref[b]
+    # one FMA in fp32 (Mosaic's bf16 logistic is unsupported; the fold from
+    # ~10 elementwise ops to FMA+SiLU is the VPU win)
+    y = x * A + Bc
     if act:
         y = y * jax.nn.sigmoid(y)     # SiLU
     o_ref[0] = y.astype(o_ref.dtype)
@@ -233,11 +243,17 @@ def _norm_kernel(x_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, scale_ref,
                  shift_ref, o_ref, *, act: bool, has_emb: bool,
                  has_affine: bool):
     b = pl.program_id(0)
-    y = (x_ref[0] - mean_ref[b]) * rstd_ref[b]
+    x = x_ref[0]
+    A = rstd_ref[b]
+    Bc = -mean_ref[b] * rstd_ref[b]
     if has_affine:
-        y = y * gamma_ref[:] + beta_ref[:]
+        A = A * gamma_ref[:]
+        Bc = Bc * gamma_ref[:] + beta_ref[:]
     if has_emb:
-        y = y * (1.0 + scale_ref[b]) + shift_ref[b]
+        e = 1.0 + scale_ref[b]
+        A = A * e
+        Bc = Bc * e + shift_ref[b]
+    y = x * A + Bc
     if act:
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)
@@ -276,6 +292,8 @@ def _fused_group_norm_tiled(x, gamma, beta, scale, shift, *, num_groups, eps,
         out_specs=pl.BlockSpec((1, 1, 2, G), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
     )(x, M)
 
     n_per_group = H * W * (C // G) * frames_last
@@ -320,6 +338,8 @@ def _fused_group_norm_tiled(x, gamma, beta, scale, shift, *, num_groups, eps,
         out_specs=pl.BlockSpec((1, Ht, W, CN), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
     )(x, mean_c, rstd_c, g_cn, b_cn, scale, shift)
 
 
@@ -403,4 +423,6 @@ def _fused_group_norm_impl(
         out_specs=pl.BlockSpec((1, H, W, CN), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
     )(x, M, g_cn, b_cn, scale, shift)

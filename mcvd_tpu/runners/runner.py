@@ -96,18 +96,15 @@ class Runner:
 
     def train(self):
         args, config = self.args, self.config
-        if getattr(config.model, "use_pallas", True) and jax.default_backend() != "cpu":
-            # GN + attention kernels carry custom VJPs -> training-safe
-            # (GN +5% step time, attention ~+1%); winograd stays off (slower
-            # end-to-end, see ops/winograd.py). With a 'tensor' (spatial)
-            # mesh axis the pallas GN would reduce over LOCAL H shards only
-            # — keep the XLA GN there (GSPMD all-reduces it correctly).
-            from .. import ops
-            from ..parallel.mesh import has_tensor_axis
+        # Training kernel policy: pure XLA. The dot-stats GN
+        # (layers.group_norm_folded) beats the pallas GN kernel + custom VJP
+        # by 18% e2e (60.9 vs 74.6 ms/step, B=32 flagship,
+        # tools/profile_train.py) — a pallas call pins {3,2,1,0} layouts and
+        # forces relayouts around every conv in both passes. Pallas kernels
+        # remain available via ops.set_use_pallas for configs where they win.
+        from .. import ops
 
-            kinds = ("attention",) if has_tensor_axis(self.mesh) else (
-                "groupnorm", "attention")
-            ops.set_use_pallas(True, kinds=kinds)
+        ops.set_use_pallas(False)
         train_ds, test_ds = get_dataset(
             args.data_path, config, video_frames_pred=config.data.num_frames
         )
@@ -285,13 +282,13 @@ class Runner:
         )
 
     def _enable_eval_kernels(self):
-        """Pallas fused kernels for inference paths (bench.py documents the
-        per-kernel end-to-end measurements; winograd stays off — slower
-        end-to-end despite winning isolated microbenches)."""
+        """Inference kernel policy: ALL pallas kernels off — a pallas GN
+        forces layout relayouts around every conv; the dot-stats XLA GN
+        (layers.group_norm_folded) fuses into conv inputs and is 31% faster
+        end-to-end (5.98 -> 4.15 ms/eval, BENCH_NOTES.md)."""
         from .. import ops
 
-        if getattr(self.config.model, "use_pallas", True) and jax.default_backend() != "cpu":
-            ops.set_use_pallas(True, kinds=("groupnorm", "attention"))
+        ops.set_use_pallas(False)
 
     def video_gen(self, ckpt: Optional[int] = None):
         args, config = self.args, self.config

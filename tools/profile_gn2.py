@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""GN kernel deep-dive at the L0 shape (16,64,64,64) bf16.
+
+Measures (marginal, k-chained in one jit):
+  * pure pallas copy at (16,64,64,64) vs (16,64,32,128)  — is lane padding
+    doubling the DMA traffic?
+  * the current fused GN kernel
+  * variants: parallel dimension_semantics, H-split grid, bf16 stats
+Usage: python tools/profile_gn2.py
+"""
+
+import functools
+import time
+
+from mcvd_tpu.utils import setup_jax
+
+setup_jax()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcvd_tpu.ops.groupnorm import _group_matrix, fused_group_norm
+
+N = 30
+K1, K2 = 1, 5
+
+
+def marginal(fn, x, label):
+    def run_k(k):
+        @jax.jit
+        def run(x):
+            def f(c, _):
+                y = c
+                for _ in range(k):
+                    y = fn(y)
+                return y.astype(c.dtype), ()
+            c, _ = jax.lax.scan(f, x, None, length=N)
+            return c
+
+        out = run(x)
+        _ = float(jnp.sum(out))
+        t0 = time.time()
+        for _ in range(3):
+            out = run(out)
+        _ = float(jnp.sum(out))
+        return (time.time() - t0) / (3 * N)
+
+    t1, t2 = run_k(K1), run_k(K2)
+    per = (t2 - t1) / (K2 - K1) * 1e6
+    print(f"{label:46s}: {per:8.1f} us", flush=True)
+    return per
+
+
+def copy_kernel(x_ref, o_ref):
+    o_ref[0] = x_ref[0] * 1.0000001  # not a no-op XLA can elide
+
+
+def make_copy(shape, grid_b):
+    B, H, W, C = shape
+
+    def fn(x):
+        return pl.pallas_call(
+            copy_kernel,
+            out_shape=jax.ShapeDtypeStruct(shape, x.dtype),
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(x)
+
+    return fn
+
+
+def gn_variant(x, G, gamma, beta, scale, shift, *, hsplit=1, parallel=False,
+               stats_bf16=False):
+    """Single-pass GN with optional H-split grid / parallel semantics."""
+    B, H, W, CN = x.shape
+    M = jnp.asarray(_group_matrix(CN, G, 1))
+    n_per_group = H * W * (CN // G)
+    Ht = H // hsplit
+
+    def kernel(x_ref, M_ref, g_ref, b_ref, s_ref, sh_ref, o_ref, acc):
+        b = pl.program_id(0)
+        t = pl.program_id(1) if hsplit > 1 else 0
+        xv = x_ref[0]
+        dt = jnp.bfloat16 if stats_bf16 else jnp.float32
+        xf = xv.astype(dt)
+        s1 = jnp.dot(xf.sum(axis=(0, 1))[None, :].astype(jnp.float32), M_ref[:],
+                     preferred_element_type=jnp.float32)
+        s2 = jnp.dot(jnp.sum(xf * xf, axis=(0, 1))[None, :].astype(jnp.float32),
+                     M_ref[:], preferred_element_type=jnp.float32)
+        if hsplit == 1:
+            mean_g = s1 / n_per_group
+            var_g = s2 / n_per_group - mean_g * mean_g
+            rstd_g = jax.lax.rsqrt(var_g + 1e-5)
+            mean_c = jnp.dot(mean_g, M_ref[:].T,
+                             preferred_element_type=jnp.float32)[0]
+            rstd_c = jnp.dot(rstd_g, M_ref[:].T,
+                             preferred_element_type=jnp.float32)[0]
+            y = (xv - mean_c) * rstd_c
+            y = y * g_ref[:] + b_ref[:]
+            y = y * (1.0 + s_ref[b]) + sh_ref[b]
+            y = y * jax.nn.sigmoid(y)
+            o_ref[0] = y.astype(o_ref.dtype)
+        else:
+            # two-phase within one grid walk is not expressible; hsplit>1
+            # here only measures the DMA/pipeline effect of smaller blocks
+            # (normalizes with tile-local stats; NOT semantically correct,
+            # benchmarking only)
+            mean_g = s1 / (n_per_group / hsplit)
+            var_g = s2 / (n_per_group / hsplit) - mean_g * mean_g
+            rstd_g = jax.lax.rsqrt(var_g + 1e-5)
+            mean_c = jnp.dot(mean_g, M_ref[:].T,
+                             preferred_element_type=jnp.float32)[0]
+            rstd_c = jnp.dot(rstd_g, M_ref[:].T,
+                             preferred_element_type=jnp.float32)[0]
+            y = (xv - mean_c) * rstd_c
+            y = y * g_ref[:] + b_ref[:]
+            y = y * (1.0 + s_ref[b]) + sh_ref[b]
+            y = y * jax.nn.sigmoid(y)
+            o_ref[0] = y.astype(o_ref.dtype)
+
+    grid = (B,) if hsplit == 1 else (B, hsplit)
+    if hsplit == 1:
+        xspec = pl.BlockSpec((1, H, W, CN), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        pspec = lambda b: (0, 0)
+        vspec = lambda b: (0,)
+    else:
+        xspec = pl.BlockSpec((1, Ht, W, CN), lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM)
+        pspec = lambda b, t: (0, 0)
+        vspec = lambda b, t: (0,)
+
+    comp_params = {}
+    if parallel:
+        comp_params = dict(
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",) * len(grid)))
+
+    return pl.pallas_call(
+        functools.partial(kernel),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            xspec,
+            pl.BlockSpec((CN, G), pspec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CN,), vspec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CN,), vspec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CN), pspec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CN), pspec, memory_space=pltpu.VMEM),
+        ],
+        out_specs=xspec,
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        **comp_params,
+    )(x, M, gamma, beta, scale, shift)
+
+
+def main():
+    print(f"# backend={jax.default_backend()}", flush=True)
+    B, H, W, C = 16, 64, 64, 64
+    x64 = jnp.asarray(np.random.rand(B, H, W, C), jnp.bfloat16)
+    x128 = jnp.asarray(np.random.rand(B, H, W // 2, 2 * C), jnp.bfloat16)
+    marginal(make_copy((B, H, W, C), B), x64, "pallas copy (.,64) lanes half")
+    marginal(make_copy((B, H, W // 2, 2 * C), B), x128, "pallas copy (.,128) lanes full")
+
+    G = 32
+    gamma = jnp.ones((C,), jnp.float32)
+    beta = jnp.zeros((C,), jnp.float32)
+    scale = jnp.asarray(np.random.randn(B, C) * 0.1, jnp.float32)
+    shift = jnp.asarray(np.random.randn(B, C) * 0.1, jnp.float32)
+
+    marginal(lambda y: fused_group_norm(y, G, gamma=gamma, beta=beta,
+                                        scale=scale, shift=shift, act=True),
+             x64, "current fused GN")
+    marginal(lambda y: gn_variant(y, G, gamma, beta, scale, shift),
+             x64, "variant: baseline re-impl")
+    marginal(lambda y: gn_variant(y, G, gamma, beta, scale, shift,
+                                  parallel=True),
+             x64, "variant: parallel semantics")
+    marginal(lambda y: gn_variant(y, G, gamma, beta, scale, shift, hsplit=4,
+                                  parallel=True),
+             x64, "variant: H/4 blocks (approx stats)")
+    marginal(lambda y: gn_variant(y, G, gamma, beta, scale, shift,
+                                  stats_bf16=True, parallel=True),
+             x64, "variant: bf16 stats + parallel")
+
+    # the same GN math on a lane-full view: what if the producer emitted
+    # (B, H, W/2, 2C)? (group matrix maps both channel copies)
+    G2 = 32
+    M2 = _group_matrix(2 * C, G2, 1)  # wrong grouping; only for timing
+    gamma2 = jnp.ones((2 * C,), jnp.float32)
+    beta2 = jnp.zeros((2 * C,), jnp.float32)
+    scale2 = jnp.asarray(np.random.randn(B, 2 * C) * 0.1, jnp.float32)
+    shift2 = jnp.asarray(np.random.randn(B, 2 * C) * 0.1, jnp.float32)
+    marginal(lambda y: fused_group_norm(y, G2, gamma=gamma2, beta=beta2,
+                                        scale=scale2, shift=shift2, act=True),
+             x128, "fused GN on lane-full (timing only)")
+
+
+if __name__ == "__main__":
+    main()
