@@ -49,8 +49,9 @@ def synthesize_kth(out_dir: str, n_videos: int = 75, frames: int = 120) -> str:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--step-ms", type=float, default=79.6,
-                    help="measured train-step ms at batch 32 (NOTES_ROUND1)")
+    ap.add_argument("--step-ms", type=float, default=60.9,
+                    help="measured train-step ms at batch 32 "
+                         "(tools/profile_train.py, BENCH_NOTES.md)")
     ap.add_argument("--out", default="/tmp/kth_synth")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--frames", type=int, default=15)

@@ -30,9 +30,8 @@ def main():
     from __graft_entry__ import _flagship_config
     from mcvd_tpu.models import get_model
 
-    on_tpu = jax.default_backend() != "cpu"
+    # match the shipped inference policy: pure XLA (BENCH_NOTES.md)
     ops.set_use_pallas(False)
-    ops.set_use_pallas(on_tpu, kinds=("groupnorm",))
 
     config = _flagship_config()
     model = get_model(config)
