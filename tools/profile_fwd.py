@@ -23,18 +23,28 @@ from mcvd_tpu.models import blocks
 
 def build_and_time(label, patch_attn=False, patch_norm=False,
                    pallas=("groupnorm",), dtype=jnp.bfloat16, B=16,
-                   fir=True):
+                   patch_fir=False):
     from __graft_entry__ import _flagship_config
-    from mcvd_tpu.models import get_model
+    from mcvd_tpu.models import get_model, resample
 
     orig_attn = blocks.AttnBlock.__call__
     orig_norm = blocks.ActNorm.__call__
+    orig_up, orig_down = resample.upsample_2d, resample.downsample_2d
     try:
         if patch_attn:
             blocks.AttnBlock.__call__ = lambda self, x: x
         if patch_norm:
             blocks.ActNorm.__call__ = (
                 lambda self, x, emb=None, cond=None: self.act(x))
+        if patch_fir:
+            resample.upsample_2d = (
+                lambda x, k=None, factor=2, gain=1: resample.naive_upsample_2d(
+                    x, factor))
+            resample.downsample_2d = (
+                lambda x, k=None, factor=2, gain=1:
+                resample.naive_downsample_2d(x, factor))
+            blocks.resample.upsample_2d = resample.upsample_2d
+            blocks.resample.downsample_2d = resample.downsample_2d
         on_tpu = jax.default_backend() != "cpu"
         ops.set_use_pallas(False)
         if pallas and on_tpu:
@@ -78,24 +88,28 @@ def build_and_time(label, patch_attn=False, patch_norm=False,
     finally:
         blocks.AttnBlock.__call__ = orig_attn
         blocks.ActNorm.__call__ = orig_norm
+        resample.upsample_2d = orig_up
+        resample.downsample_2d = orig_down
+        blocks.resample.upsample_2d = orig_up
+        blocks.resample.downsample_2d = orig_down
 
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     print(f"# backend={jax.default_backend()} B={B} bf16 params+acts",
           flush=True)
-    full = build_and_time("full bf16 (pallas GN)  [bench config]")
-    xla = build_and_time("full bf16 (pure XLA)", pallas=())
-    pa = build_and_time("full bf16 (pallas GN+attn)",
-                        pallas=("groupnorm", "attention"))
-    noattn = build_and_time("no attention (pallas GN)", patch_attn=True)
+    full = build_and_time("full bf16 (pure XLA) [bench config]", pallas=())
+    noattn = build_and_time("no attention", patch_attn=True, pallas=())
     nonorm = build_and_time("no norms", patch_norm=True, pallas=())
+    nofir = build_and_time("naive resample (FIR cost)", patch_fir=True,
+                           pallas=())
     convs = build_and_time("no attn + no norms", patch_attn=True,
                            patch_norm=True, pallas=())
-    f32 = build_and_time("full fp32 (pallas GN)", dtype=jnp.float32)
+    base = build_and_time("convs only (no attn/norm/FIR)", patch_attn=True,
+                          patch_norm=True, patch_fir=True, pallas=())
     print(f"# attn ~{full-noattn:.2f} ms, norms ~{full-nonorm:.2f} ms, "
-          f"convs+rest ~{convs:.2f} ms, pallas-attn {pa-full:+.2f} ms, "
-          f"xla-gn {xla-full:+.2f} ms, bf16 {f32-full:+.2f} ms")
+          f"FIR ~{full-nofir:.2f} ms, convs+rest ~{convs:.2f} ms, "
+          f"convs-only ~{base:.2f} ms")
 
 
 if __name__ == "__main__":
