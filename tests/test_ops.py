@@ -57,6 +57,33 @@ def test_fused_attention_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+def test_fused_attention_packed_matches_reference():
+    from mcvd_tpu.ops.attention import _packed_reference, fused_attention_packed
+
+    rng = np.random.RandomState(3)
+    for B, T, C, h in [(2, 64, 32, 2), (1, 300, 48, 3), (2, 64, 64, 4)]:
+        q = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+        scale = (C // h) ** -0.5
+        ref = _packed_reference(q, k, v, h, scale)
+        got = fused_attention_packed(q, k, v, h, scale, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+        def f_fused(q, k, v):
+            return jnp.sum(fused_attention_packed(q, k, v, h, scale, True) ** 2)
+
+        def f_ref(q, k, v):
+            return jnp.sum(_packed_reference(q, k, v, h, scale) ** 2)
+
+        ga = jax.grad(f_fused, argnums=(0, 1, 2))(q, k, v)
+        gb = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+
+
 def test_fused_leaky_relu_matches_reference():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32))
