@@ -84,19 +84,35 @@ class DataLoader:
                 return
 
 
-def prefetch_to_device(iterator, size: int = 2, sharding=None):
+def prefetch_to_device(iterator, size: int = 2, sharding=None,
+                       wire_dtype=None):
     """Overlap host batch assembly with device compute.
 
     The producer thread only assembles numpy batches; device placement stays
-    on the consumer thread (device_put from a background thread can deadlock
-    against main-thread compilation on the axon TPU backend). With a
-    sharding, the batch is placed directly into the sharded layout."""
+    on the consumer thread (device_put from a background thread deadlocks
+    against main-thread dispatch on the axon TPU backend — re-confirmed).
+    With a sharding, the batch is placed directly into the sharded layout.
+
+    With sharding=None the consumer gets raw numpy: pass that straight into
+    the jitted step — jit's implicit host transfer is async and pipelines
+    with device compute (55ms/step vs 81ms blocking device_put for a 5.2MB
+    f32 batch), where an explicit device_put serializes. `wire_dtype`
+    (e.g. np.float16) casts on the producer thread to halve tunnel bytes.
+    """
     q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
     sentinel = object()
 
     def producer():
         try:
             for item in iterator:
+                if wire_dtype is not None:
+                    item = jax.tree_util.tree_map(
+                        lambda x: x.astype(wire_dtype)
+                        if (isinstance(x, np.ndarray)
+                            and x.dtype == np.float32) else x,
+                        item,
+                        is_leaf=lambda x: x is None or isinstance(x, np.ndarray),
+                    )
                 q.put(item)
         finally:
             q.put(sentinel)

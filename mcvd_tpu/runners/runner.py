@@ -37,6 +37,7 @@ from ..train import (
     checkpoints,
     create_train_state,
     make_eval_loss_step,
+    make_train_chunk,
     make_train_step,
 )
 from . import meters as meters_mod
@@ -144,9 +145,27 @@ class Runner:
             logger.info("resumed from step %d", int(state.step))
         meters = meters or meters_mod.init_meters()
 
-        step_fn = make_train_step(self.model, self.sched, config, mesh=self.mesh)
+        # Host-loop design for the ~65MB/s tunnel (BENCH_NOTES.md): batches
+        # travel in training.wire_dtype (default float16 in generated
+        # configs; f32 math resumes on-device), go STRAIGHT into the jitted
+        # step as numpy (jit's implicit transfer is async and overlaps
+        # device compute; an explicit device_put serializes at 81ms/5MB),
+        # and the loop syncs only every `sync_every` steps for backpressure.
+        # steps_per_dispatch > 1 optionally chains K steps into one lax.scan
+        # dispatch (amortizes the ~30ms dispatch+sync for tiny models whose
+        # step compute is far below it).
+        K = max(1, int(getattr(config.training, "steps_per_dispatch", 1)))
+        if K > 1:
+            chunk_fn = make_train_chunk(self.model, self.sched, config, K,
+                                        mesh=self.mesh)
+        else:
+            step_fn = make_train_step(self.model, self.sched, config, mesh=self.mesh)
         eval_fn = make_eval_loss_step(self.model, self.sched, config, mesh=self.mesh)
         sharding = data_sharding(self.mesh)
+        wire = str(getattr(config.training, "wire_dtype", "float32"))
+        wire_np = {"float32": None, "float16": np.float16,
+                   "bfloat16": jnp.bfloat16}.get(wire)
+        sync_every = max(1, int(getattr(config.training, "sync_every", 16)))
 
         n_iters = config.training.n_iters
         snapshot_freq = getattr(config.training, "snapshot_freq", 50000)
@@ -155,32 +174,66 @@ class Runner:
         ckpt_freq = getattr(config.training, "checkpoint_freq", 1000)
 
         step = int(state.step)
-        data_iter = prefetch_to_device(iter(loader), sharding=sharding)
+        data_iter = prefetch_to_device(iter(loader), sharding=None,
+                                       wire_dtype=wire_np)
         t_start = time.time()
         profile_at = getattr(config.training, "profile_at_step", 0)
         profile_dir = os.path.join(args.log_path, "profile")
+
+        def crossed(freq, lo, hi):
+            return freq > 0 and (lo // freq) != (hi // freq)
+
+        # The axon IFRT client leaks every host->device staging buffer in
+        # native memory (~wire bytes per step, unreachable from Python —
+        # BENCH_NOTES.md). Long runs therefore segment: stop after
+        # max_steps_per_run steps, checkpoint, and let the caller relaunch
+        # with --resume_training (crash-safe resume is first-class anyway).
+        max_run = int(getattr(config.training, "max_steps_per_run", 0) or 0)
+        seg_start = step
+
         while step < n_iters:
-            X, _ = next(data_iter)
+            if max_run and step - seg_start >= max_run:
+                logger.info(
+                    "segment budget %d steps reached at step %d; "
+                    "checkpointing — relaunch with --resume_training",
+                    max_run, step)
+                break
             rng, k = jax.random.split(rng)
-            if profile_at and step + 1 == profile_at:
+            if profile_at and step < profile_at <= step + K:
                 # jax.profiler trace around a few steps (SURVEY §5: the
                 # reference has no tracing; this is the TPU-native equivalent)
                 try:
                     jax.profiler.start_trace(profile_dir)
                 except Exception as e:
                     logger.warning("profiler unavailable: %s", e)
-            state, metrics = step_fn(state, X, k)
-            if profile_at and step + 1 == profile_at + 3:
+            if K > 1:
+                n_active = min(K, n_iters - step)
+                Xs = np.stack([next(data_iter)[0] for _ in range(K)])
+                state, metrics = chunk_fn(state, Xs, k, jnp.int32(n_active))
+                prev_step, step = step, step + n_active
+                last = n_active - 1
+            else:
+                X, _ = next(data_iter)
+                state, metrics = step_fn(state, X, k)
+                prev_step, step = step, step + 1
+                last = None
+            if crossed(sync_every, prev_step, step):
+                # drain the async dispatch queue so the host can't run
+                # unboundedly ahead (each in-flight step pins its input);
+                # np.asarray is the reliable barrier on axon
+                _ = np.asarray(metrics["grad_norm"])
+            if profile_at and prev_step < profile_at + 3 <= step:
                 try:
                     jax.profiler.stop_trace()
                     logger.info("profile written to %s", profile_dir)
                 except Exception:
                     pass
-            step = int(state.step)
 
-            if step % log_freq == 0 or step == 1:
-                loss = float(metrics["loss"])
-                gn = float(metrics["grad_norm"])
+            if crossed(log_freq, prev_step, step) or prev_step == 0:
+                loss = float(metrics["loss"][last] if last is not None
+                             else metrics["loss"])
+                gn = float(metrics["grad_norm"][last] if last is not None
+                           else metrics["grad_norm"])
                 meters["losses_train"].update(loss, step)
                 meters["grad_norm"].update(gn, step)
                 warm = getattr(config.optim, "warmup", 0) or 1
@@ -201,18 +254,18 @@ class Runner:
                     str(__import__("datetime").timedelta(seconds=int(elapsed))),
                     mem_gb,
                 )
-            if step % val_freq == 0:
+            if crossed(val_freq, prev_step, step):
                 Xv, _ = next(test_iter)
                 rng, k = jax.random.split(rng)
                 Xv = jax.device_put(jnp.asarray(Xv), sharding)
                 val = float(eval_fn(state.ema_params, Xv, k))
                 meters["losses_test"].update(val, step)
                 logger.info("step %d | test loss %.2f", step, val)
-            if step % ckpt_freq == 0:
+            if crossed(ckpt_freq, prev_step, step):
                 checkpoints.save_checkpoint(self._ckpt_dir(), state)
                 meters_mod.save_meters(meters, args.log_path)
                 plots.plot_graphs_process(meters, args.log_path)
-            if step % snapshot_freq == 0:
+            if crossed(snapshot_freq, prev_step, step):
                 checkpoints.save_checkpoint(self._ckpt_dir(), state, name=f"checkpoint_{step}")
                 if getattr(config.training, "snapshot_sampling", True):
                     try:

@@ -1,5 +1,5 @@
 from .state import TrainState, make_optimizer, create_train_state
-from .step import make_train_step, make_eval_loss_step
+from .step import make_train_step, make_train_chunk, make_eval_loss_step
 from . import checkpoints
 
 __all__ = [
@@ -7,6 +7,7 @@ __all__ = [
     "make_optimizer",
     "create_train_state",
     "make_train_step",
+    "make_train_chunk",
     "make_eval_loss_step",
     "checkpoints",
 ]

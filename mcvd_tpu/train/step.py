@@ -25,8 +25,21 @@ from .state import TrainState, make_optimizer
 
 def _loss_for_batch(model, sched: DiffusionSchedule, config, params, X, key,
                     train: bool):
-    """Shared loss computation for train/eval steps. X: (B,T,H,W,C) raw [0,1]."""
+    """Shared loss computation for train/eval steps. X: (B,T,H,W,C) raw [0,1].
+
+    training.compute_dtype = "bfloat16" runs the score network (fwd+bwd) in
+    bf16 — the TPU-idiomatic mixed precision: fp32 master params cast to
+    bf16 inside the loss (grads flow through the cast and accumulate fp32),
+    the DSM chain math (noising, target, reduction) stays fp32, GN stats are
+    fp32 internally (layers.group_norm_folded). Eval loss always runs fp32.
+    """
+    import jax.numpy as jnp
+
     k_deq, k_mask, k_loss, k_drop, k_cond = jax.random.split(key, 5)
+    # X may arrive in a reduced wire dtype (training.wire_dtype=float16):
+    # the host->device tunnel runs at ~65MB/s, so halving the bytes halves
+    # the transfer wall; all math runs f32 from here on.
+    X = X.astype(jnp.float32)
     X = data_transform(config, X, key=k_deq)
     conditional = config.data.num_frames_cond > 0
     pred, cond, cond_mask = conditioning_fn(
@@ -39,9 +52,21 @@ def _loss_for_batch(model, sched: DiffusionSchedule, config, params, X, key,
         conditional=conditional,
     )
 
+    comp = getattr(config.training, "compute_dtype", "float32")
+    bf16 = train and comp in ("bfloat16", "bf16")
+    if bf16:
+        cast_params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    else:
+        cast_params = params
+
     def model_fn(x_t, labels, c, m):
-        return model.apply(
-            {"params": params},
+        if bf16:
+            x_t = x_t.astype(jnp.bfloat16)
+            c = None if c is None else c.astype(jnp.bfloat16)
+        out = model.apply(
+            {"params": cast_params},
             x_t,
             labels,
             c,
@@ -51,6 +76,7 @@ def _loss_for_batch(model, sched: DiffusionSchedule, config, params, X, key,
             train=train,
             rngs={"dropout": k_drop} if train else {},
         )
+        return out.astype(jnp.float32) if bf16 else out
 
     return dsm_loss(
         k_loss,
@@ -65,12 +91,9 @@ def _loss_for_batch(model, sched: DiffusionSchedule, config, params, X, key,
     )
 
 
-def make_train_step(model, sched: DiffusionSchedule, config, mesh: Optional[Mesh] = None,
-                    donate: bool = False) -> Callable:
-    # donate=True halves state memory but the current axon TPU backend
-    # rejects donated buffers (InvalidArgument); keep opt-in until fixed.
-    """Returns step(state, X, key) -> (state, metrics). X is (B,T,H,W,C) in
-    [0,1], sharded over 'data' if a mesh is given."""
+def _make_step_body(model, sched, config):
+    """One SGD step: loss -> grads -> clip+Adam -> EMA. Shared by the
+    per-dispatch step and the chunked (lax.scan) multi-step program."""
     tx = make_optimizer(config)
     ema_rate = getattr(config.model, "ema_rate", 0.999)
     use_ema = getattr(config.model, "ema", False)
@@ -95,6 +118,17 @@ def make_train_step(model, sched: DiffusionSchedule, config, mesh: Optional[Mesh
         )
         return new_state, {"loss": loss, "grad_norm": grad_norm}
 
+    return step
+
+
+def make_train_step(model, sched: DiffusionSchedule, config, mesh: Optional[Mesh] = None,
+                    donate: bool = False) -> Callable:
+    # donate=True halves state memory but the current axon TPU backend
+    # rejects donated buffers (InvalidArgument); keep opt-in until fixed.
+    """Returns step(state, X, key) -> (state, metrics). X is (B,T,H,W,C) in
+    [0,1], sharded over 'data' if a mesh is given."""
+    step = _make_step_body(model, sched, config)
+
     if mesh is not None:
         # X is (B,T,H,W,C): batch over 'data'; with a non-trivial 'tensor'
         # axis also H over 'tensor' (spatial parallelism — GSPMD inserts the
@@ -108,6 +142,58 @@ def make_train_step(model, sched: DiffusionSchedule, config, mesh: Optional[Mesh
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_chunk(model, sched: DiffusionSchedule, config, K: int,
+                     mesh: Optional[Mesh] = None) -> Callable:
+    """Returns chunk(state, Xs, key, n_active) -> (state, metrics): K train
+    steps chained in ONE jitted lax.scan dispatch.
+
+    Motivation (TPU/axon): the tunnel costs ~170ms per dispatch+sync at the
+    Runner's per-step loop granularity while the flagship step computes in
+    ~51ms — chaining K steps amortizes dispatch to ~1/K (tools/
+    diag in BENCH_NOTES.md). The reference's hot loop is inherently
+    per-step host-side torch (ncsn_runner.py:371-418); this is a pure win of
+    the compiled-program design.
+
+    Xs is (K, B, T, H, W, C). `n_active` (device scalar) marks how many
+    leading slots are real work — the tail chunk of a run passes
+    n_active < K and the trailing slots are exact no-ops (lax.cond), so ONE
+    compiled program covers every chunk. Metrics are (K,) arrays; slots
+    >= n_active hold NaN.
+    """
+    import jax.numpy as jnp
+
+    step = _make_step_body(model, sched, config)
+
+    def chunk(state: TrainState, Xs, key, n_active):
+        keys = jax.random.split(key, K)
+
+        def body(st, inp):
+            i, X, k = inp
+
+            def do(st):
+                st2, m = step(st, X, k)
+                return st2, (m["loss"], m["grad_norm"])
+
+            def skip(st):
+                return st, (jnp.float32(jnp.nan), jnp.float32(jnp.nan))
+
+            return jax.lax.cond(i < n_active, do, skip, st)
+
+        state, (losses, gns) = jax.lax.scan(
+            body, state, (jnp.arange(K), Xs, keys))
+        return state, {"loss": losses, "grad_norm": gns}
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        bs = batch_sharding(mesh, 5, h_axis=2)
+        # (K, B, T, H, W, C): scan axis replicated, batch over 'data',
+        # H over 'tensor' when present
+        chunk_sh = NamedSharding(mesh, P(None, *bs.spec))
+        return jax.jit(chunk, in_shardings=(repl, chunk_sh, repl, repl),
+                       out_shardings=(repl, repl))
+    return jax.jit(chunk)
 
 
 def make_eval_loss_step(model, sched: DiffusionSchedule, config,

@@ -163,6 +163,93 @@ def test_train_step_on_mesh():
     assert np.isfinite(float(val))
 
 
+def test_train_step_bf16_compute():
+    """training.compute_dtype=bfloat16: step runs, loss tracks the fp32 loss
+    on identical data/keys (bf16 noise tolerance), grads stay finite, and
+    master params remain fp32."""
+    config = make_config()
+    config.optim.warmup = 0  # warmup lr=0 would zero the first update
+    model = get_model(config)
+    sched = make_schedule(config)
+
+    B, T = 8, 4
+    X = jnp.asarray(np.random.RandomState(1).rand(B, T, 16, 16, 1).astype(np.float32))
+    x0 = jnp.zeros((B, 16, 16, 2))
+    cond0 = jnp.zeros((B, 16, 16, 2))
+    y0 = jnp.zeros((B,), jnp.int32)
+    state = create_train_state(config, model, (x0, y0, cond0), jax.random.PRNGKey(0))
+
+    step32 = make_train_step(model, sched, config, donate=False)
+    s32, m32 = step32(state, X, jax.random.PRNGKey(5))
+
+    config.training.compute_dtype = "bfloat16"
+    step16 = make_train_step(model, sched, config, donate=False)
+    s16, m16 = step16(state, X, jax.random.PRNGKey(5))
+
+    l32, l16 = float(m32["loss"]), float(m16["loss"])
+    assert np.isfinite(l16) and np.isfinite(float(m16["grad_norm"]))
+    assert abs(l16 - l32) / max(abs(l32), 1.0) < 0.05, (l16, l32)
+    # master params stay fp32 after the update
+    for leaf in jax.tree_util.tree_leaves(s16.params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    # the two updates move params in a consistent direction
+    d32 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda a, b: b - a, state.params, s32.params))
+    d16 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda a, b: b - a, state.params, s16.params))
+    num = sum(float(jnp.vdot(a, b)) for a, b in zip(d32, d16))
+    den = np.sqrt(sum(float(jnp.vdot(a, a)) for a in d32)) * np.sqrt(
+        sum(float(jnp.vdot(b, b)) for b in d16))
+    assert num / den > 0.9, num / den  # update cosine similarity
+
+
+def test_train_chunk_matches_per_step():
+    """make_train_chunk(K): one lax.scan dispatch == K make_train_step calls
+    with the same split keys; the tail chunk (n_active < K) no-ops trailing
+    slots exactly and NaNs their metrics."""
+    from mcvd_tpu.train import make_train_chunk
+
+    config = make_config()
+    config.optim.warmup = 0
+    model = get_model(config)
+    sched = make_schedule(config)
+
+    B, T, K = 4, 4, 3
+    Xs = jnp.asarray(np.random.RandomState(2).rand(K, B, T, 16, 16, 1).astype(np.float32))
+    x0 = jnp.zeros((B, 16, 16, 2))
+    cond0 = jnp.zeros((B, 16, 16, 2))
+    y0 = jnp.zeros((B,), jnp.int32)
+    state0 = create_train_state(config, model, (x0, y0, cond0), jax.random.PRNGKey(0))
+
+    key = jax.random.PRNGKey(7)
+    chunk_fn = make_train_chunk(model, sched, config, K)
+    sc, mc = chunk_fn(state0, Xs, key, jnp.int32(K))
+
+    step_fn = make_train_step(model, sched, config, donate=False)
+    keys = jax.random.split(key, K)
+    s = state0
+    losses = []
+    for i in range(K):
+        s, m = step_fn(s, Xs[i], keys[i])
+        losses.append(float(m["loss"]))
+    assert int(sc.step) == int(s.step) == K
+    np.testing.assert_allclose(np.asarray(mc["loss"]), np.asarray(losses),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(sc.params),
+                    jax.tree_util.tree_leaves(s.params)):
+        # scan-vs-unrolled compile reassociation: ~3e-6 over 3 Adam steps
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    # tail: only 2 of 3 slots active
+    st, mt = chunk_fn(state0, Xs, key, jnp.int32(2))
+    assert int(st.step) == 2
+    np.testing.assert_allclose(np.asarray(mt["loss"][:2]),
+                               np.asarray(losses[:2]), rtol=1e-5)
+    assert np.isnan(float(mt["loss"][2]))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     config = make_config()
     model = get_model(config)

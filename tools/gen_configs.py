@@ -17,6 +17,17 @@ BASE = {
         "snapshot_freq": 50000, "snapshot_sampling": True, "sample_freq": 50000,
         "val_freq": 100, "log_freq": 50, "log_all_sigmas": False,
         "checkpoint_freq": 1000,
+        # fp32 = exact reference parity; "bfloat16" = bf16 score-net fwd+bwd
+        # with fp32 master params (+18% step throughput on v5e)
+        "compute_dtype": "float32",
+        # host->device batch dtype: the tunnel runs ~65MB/s, so float16
+        # halves the transfer wall; on-device math is f32 regardless
+        # (~1e-4 input quantization, fp32 exact mode: "float32")
+        "wire_dtype": "float16",
+        # K train steps per XLA dispatch (lax.scan chunk); 1 = pipelined
+        # per-step dispatch (transfer overlaps compute), >1 amortizes
+        # dispatch+sync for tiny models. Cadences fire on chunk crossings.
+        "steps_per_dispatch": 1,
     },
     "sampling": {
         "batch_size": 100, "data_init": False, "ckpt_id": 0, "final_only": True,

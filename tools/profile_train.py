@@ -20,7 +20,7 @@ import numpy as np
 from mcvd_tpu import ops
 
 
-def timed(kinds, B):
+def timed(kinds, B, compute_dtype="float32"):
     from __graft_entry__ import _flagship_config
     from mcvd_tpu.diffusion import make_schedule
     from mcvd_tpu.models import get_model
@@ -34,6 +34,7 @@ def timed(kinds, B):
 
     config = _flagship_config()
     config.training.batch_size = B
+    config.training.compute_dtype = compute_dtype
     model = get_model(config)
     sched = make_schedule(config)
     sz = config.data.image_size
@@ -80,9 +81,10 @@ def timed(kinds, B):
         state, losses = run(state, jax.random.PRNGKey(2 + i))
     _ = float(jnp.sum(losses))
     dt = (time.time() - t0) / (3 * N) * 1e3
-    label = "+".join(kinds) if kinds else "pure XLA"
+    label = ("+".join(kinds) if kinds else "pure XLA") + " " + compute_dtype
     print(f"train step [{label:24s}] B={B}: {dt:7.2f} ms/step "
-          f"(compile {compile_s:.0f}s)", flush=True)
+          f"(compile {compile_s:.0f}s) loss[last]={float(losses[-1]):.2f}",
+          flush=True)
     return dt
 
 
@@ -90,8 +92,8 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     print(f"# backend={jax.default_backend()}", flush=True)
     timed((), B)
+    timed((), B, compute_dtype="bfloat16")
     timed(("groupnorm",), B)
-    timed(("groupnorm", "attention"), B)
 
 
 if __name__ == "__main__":
