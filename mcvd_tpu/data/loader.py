@@ -102,15 +102,21 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None,
     q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
     sentinel = object()
 
+    def _wire_cast(x):
+        if not (isinstance(x, np.ndarray) and x.dtype == np.float32):
+            return x
+        if wire_dtype == np.uint8:
+            # lossless for uint8-sourced video (k/255 f32 values round-trip
+            # exactly); 4x fewer tunnel bytes. Device side divides by 255.
+            return np.clip(np.rint(x * 255.0), 0, 255).astype(np.uint8)
+        return x.astype(wire_dtype)
+
     def producer():
         try:
             for item in iterator:
                 if wire_dtype is not None:
                     item = jax.tree_util.tree_map(
-                        lambda x: x.astype(wire_dtype)
-                        if (isinstance(x, np.ndarray)
-                            and x.dtype == np.float32) else x,
-                        item,
+                        _wire_cast, item,
                         is_leaf=lambda x: x is None or isinstance(x, np.ndarray),
                     )
                 q.put(item)

@@ -164,7 +164,7 @@ class Runner:
         sharding = data_sharding(self.mesh)
         wire = str(getattr(config.training, "wire_dtype", "float32"))
         wire_np = {"float32": None, "float16": np.float16,
-                   "bfloat16": jnp.bfloat16}.get(wire)
+                   "bfloat16": jnp.bfloat16, "uint8": np.uint8}.get(wire)
         sync_every = max(1, int(getattr(config.training, "sync_every", 16)))
 
         n_iters = config.training.n_iters

@@ -36,10 +36,14 @@ def _loss_for_batch(model, sched: DiffusionSchedule, config, params, X, key,
     import jax.numpy as jnp
 
     k_deq, k_mask, k_loss, k_drop, k_cond = jax.random.split(key, 5)
-    # X may arrive in a reduced wire dtype (training.wire_dtype=float16):
-    # the host->device tunnel runs at ~65MB/s, so halving the bytes halves
-    # the transfer wall; all math runs f32 from here on.
-    X = X.astype(jnp.float32)
+    # X may arrive in a reduced wire dtype (training.wire_dtype=float16 or
+    # uint8): the host->device tunnel runs at ~65MB/s, so fewer bytes =
+    # smaller transfer wall; all math runs f32 from here on. uint8 carries
+    # round(x*255) (lossless for uint8-sourced video).
+    if X.dtype == jnp.uint8:
+        X = X.astype(jnp.float32) / 255.0
+    else:
+        X = X.astype(jnp.float32)
     X = data_transform(config, X, key=k_deq)
     conditional = config.data.num_frames_cond > 0
     pred, cond, cond_mask = conditioning_fn(

@@ -250,6 +250,38 @@ def test_train_chunk_matches_per_step():
     assert np.isnan(float(mt["loss"][2]))
 
 
+def test_uint8_wire_roundtrip_lossless():
+    """wire_dtype=uint8: k/255 f32 values survive the host wire cast exactly,
+    and the train loss on uint8 wire equals the f32 loss bit-for-bit for
+    uint8-sourced data (KTH/BAIR h5 store uint8 frames)."""
+    from mcvd_tpu.data.loader import prefetch_to_device
+    from mcvd_tpu.train.step import _loss_for_batch
+
+    rng = np.random.RandomState(0)
+    x = (rng.randint(0, 256, (2, 3, 8, 8, 1)) / 255.0).astype(np.float32)
+    it = prefetch_to_device(iter([(x, None)]), wire_dtype=np.uint8)
+    xw, _ = next(it)
+    assert xw.dtype == np.uint8
+    np.testing.assert_array_equal(xw, np.rint(x * 255).astype(np.uint8))
+
+    config = make_config()
+    model = get_model(config)
+    sched = make_schedule(config)
+    B, T = 4, 4
+    Xf = jnp.asarray((np.random.RandomState(3).randint(0, 256, (B, T, 16, 16, 1))
+                      / 255.0).astype(np.float32))
+    Xu = jnp.asarray(np.rint(np.asarray(Xf) * 255).astype(np.uint8))
+    x0 = jnp.zeros((B, 16, 16, 2))
+    cond0 = jnp.zeros((B, 16, 16, 2))
+    y0 = jnp.zeros((B,), jnp.int32)
+    state = create_train_state(config, model, (x0, y0, cond0), jax.random.PRNGKey(0))
+    lf = float(_loss_for_batch(model, sched, config, state.params, Xf,
+                               jax.random.PRNGKey(4), True))
+    lu = float(_loss_for_batch(model, sched, config, state.params, Xu,
+                               jax.random.PRNGKey(4), True))
+    assert lf == lu, (lf, lu)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     config = make_config()
     model = get_model(config)

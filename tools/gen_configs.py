@@ -22,7 +22,9 @@ BASE = {
         "compute_dtype": "float32",
         # host->device batch dtype: the tunnel runs ~65MB/s, so float16
         # halves the transfer wall; on-device math is f32 regardless
-        # (~1e-4 input quantization, fp32 exact mode: "float32")
+        # (~1e-4 input quantization, fp32 exact mode: "float32"; "uint8"
+        # is LOSSLESS for uint8-sourced video like the KTH/BAIR h5 and 4x
+        # smaller — the video configs below use it)
         "wire_dtype": "float16",
         # K train steps per XLA dispatch (lax.scan chunk); 1 = pipelined
         # per-step dispatch (transfer overlaps compute), >1 amortizes
@@ -107,20 +109,24 @@ CONFIGS = {
                   "n_head_channels": -1},
     },
     "kth64_big": deep_update(copy.deepcopy(BIG), {
-        "training": {},
+        # uint8-sourced h5 frames + lossless transforms -> uint8 wire (4x)
+        "training": {"wire_dtype": "uint8"},
         "sampling": {"num_frames_pred": 20},
         "data": {"dataset": "KTH", "num_frames_cond": 10},
     }),
     "kth64_big_spade": deep_update(copy.deepcopy(BIG), {
+        "training": {"wire_dtype": "uint8"},
         "sampling": {"num_frames_pred": 20},
         "data": {"dataset": "KTH", "num_frames_cond": 10},
         "model": {"spade": True},
     }),
     "bair_big": deep_update(copy.deepcopy(BIG), {
+        "training": {"wire_dtype": "uint8"},
         "data": {"dataset": "BAIR", "channels": 3, "color_jitter": 0.0,
                  "test_subset": -1, "num_frames_cond": 2},
     }),
     "bair_big_spade": deep_update(copy.deepcopy(BIG), {
+        "training": {"wire_dtype": "uint8"},
         "data": {"dataset": "BAIR", "channels": 3, "color_jitter": 0.0,
                  "test_subset": -1, "num_frames_cond": 2},
         "model": {"spade": True},
@@ -136,6 +142,7 @@ CONFIGS = {
     # activations at 128px dominate memory; GSPMD shards them and inserts
     # conv halos + norm reductions (tests/test_tensor_parallel.py).
     "cityscapes_big": deep_update(copy.deepcopy(BIG), {
+        "training": {"wire_dtype": "uint8"},
         "data": {"dataset": "Cityscapes", "image_size": 128, "channels": 3,
                  "color_jitter": 0.0, "num_frames_cond": 2},
         "model": {"dropout": 0.0, "ngf": 128, "ch_mult": [1, 1, 2, 3, 4],
@@ -143,7 +150,7 @@ CONFIGS = {
         "parallel": {"tensor": 2},
     }),
     "cityscapes_big_spade": deep_update(copy.deepcopy(BIG), {
-        "training": {"batch_size": 32},
+        "training": {"batch_size": 32, "wire_dtype": "uint8"},
         "data": {"dataset": "Cityscapes", "image_size": 128, "channels": 3,
                  "color_jitter": 0.0, "num_frames_cond": 2},
         "model": {"dropout": 0.0, "ngf": 192, "ch_mult": [1, 1, 2, 3, 4],
@@ -151,6 +158,7 @@ CONFIGS = {
         "parallel": {"tensor": 2},
     }),
     "ucf101": deep_update(copy.deepcopy(BIG), {
+        "training": {"wire_dtype": "uint8"},
         "data": {"dataset": "UCF101", "channels": 3, "color_jitter": 0.0,
                  "num_workers": 4, "num_frames": 4, "num_frames_cond": 4},
         "model": {"ngf": 192},
