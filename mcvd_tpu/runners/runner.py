@@ -250,7 +250,7 @@ class Runner:
                 logger.info(
                     "step %d | loss %.2f | grad %.3f | %.2f steps/s | "
                     "elapsed %s | host mem %.2fGB",
-                    step, loss, gn, step / max(elapsed, 1e-9),
+                    step, loss, gn, (step - seg_start) / max(elapsed, 1e-9),
                     str(__import__("datetime").timedelta(seconds=int(elapsed))),
                     mem_gb,
                 )
@@ -285,7 +285,10 @@ class Runner:
                         logger.exception("in-training video_gen failed: %s", e)
         checkpoints.save_checkpoint(self._ckpt_dir(), state)
         meters_mod.save_meters(meters, args.log_path)
-        logger.info("training done at step %d", step)
+        if step < n_iters:
+            logger.info("training paused at step %d (segment budget)", step)
+        else:
+            logger.info("training done at step %d", step)
         return state
 
     # -------------------------------------------------------------- video_gen
