@@ -132,12 +132,15 @@ def get_dataset(data_path, config, video_frames_pred=0, start_at=0, seed=0):
             "the video-diffusion pipeline uses the video datasets."
         )
 
+    # clamp to the actual split size: a too-large subset would otherwise
+    # crash mid-epoch in the loader thread (IndexError), not at build time
     subset_num = getattr(config.data, "subset", -1)
     if subset_num > 0:
-        dataset = Subset(dataset, list(range(subset_num)))
+        dataset = Subset(dataset, list(range(min(subset_num, len(dataset)))))
     test_subset_num = getattr(config.data, "test_subset", -1)
     if test_subset_num > 0:
-        test_dataset = Subset(test_dataset, list(range(test_subset_num)))
+        test_dataset = Subset(
+            test_dataset, list(range(min(test_subset_num, len(test_dataset)))))
     return dataset, test_dataset
 
 
