@@ -165,6 +165,13 @@ class Runner:
         wire = str(getattr(config.training, "wire_dtype", "float32"))
         wire_np = {"float32": None, "float16": np.float16,
                    "bfloat16": jnp.bfloat16, "uint8": np.uint8}.get(wire)
+        if wire_np is np.uint8 and (
+                float(getattr(config.data, "color_jitter", 0.0) or 0.0) > 0
+                or getattr(config.data, "gaussian_dequantization", False)):
+            logger.warning(
+                "wire_dtype=uint8 quantizes non-uint8-exact inputs "
+                "(color_jitter/gaussian_dequantization active) — use "
+                "float16 for lossless-enough transport there")
         sync_every = max(1, int(getattr(config.training, "sync_every", 16)))
 
         n_iters = config.training.n_iters
