@@ -612,7 +612,9 @@ class Runner:
         args, config = self.args, self.config
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
-        bs = config.test.batch_size
+        # clamp: a batch size above the (possibly subset) split with
+        # drop_last would yield zero batches and a NaN mean
+        bs = min(config.test.batch_size, len(test_ds))
         loader = DataLoader(test_ds, batch_size=bs, shuffle=False, drop_last=True)
         eval_fn = make_eval_loss_step(self.model, self.sched, config, mesh=self.mesh)
         sharding = data_sharding(self.mesh)
