@@ -31,6 +31,14 @@ class DataLoader:
         self.process_index = process_index
         self.repeat = repeat
         self.num_workers = num_workers
+        per_host = len(dataset) // max(1, num_processes)
+        if drop_last and per_host < batch_size:
+            # with drop_last the epoch would yield ZERO batches; with
+            # repeat=True that is an infinite busy loop — fail fast instead
+            raise ValueError(
+                f"batch_size={batch_size} exceeds the per-host split size "
+                f"{per_host} with drop_last=True (dataset {len(dataset)} / "
+                f"{num_processes} processes) — no batch would ever be yielded")
         self._pool = None
         if num_workers > 0:
             # thread pool (not processes): h5py/np decode releases the GIL,

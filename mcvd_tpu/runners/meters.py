@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import math
 import os
 import pickle
 from typing import Dict, List, Optional
@@ -64,9 +65,12 @@ def update_best(meters: Dict, metrics: Dict, step: int) -> Dict:
             val = float(val)
         except (TypeError, ValueError):
             continue
+        if math.isnan(val):
+            continue  # NaN would win every comparison thereafter
         hi = base in _HIGHER_BETTER
         cur = best.get(name)
-        if cur is None or (val > cur["value"] if hi else val < cur["value"]):
+        if (cur is None or math.isnan(cur["value"])
+                or (val > cur["value"] if hi else val < cur["value"])):
             best[name] = {"value": val, "step": int(step)}
     return best
 

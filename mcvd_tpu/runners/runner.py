@@ -127,7 +127,10 @@ class Runner:
                             num_processes=jax.process_count(),
                             process_index=jax.process_index(),
                             num_workers=num_workers)
-        test_loader = DataLoader(test_ds, batch_size=bs, shuffle=True,
+        # clamp the val batch to the (possibly subset) per-host test split —
+        # drop_last+repeat with an oversize batch would otherwise never yield
+        bs_val = min(bs, len(test_ds) // max(1, jax.process_count()))
+        test_loader = DataLoader(test_ds, batch_size=max(1, bs_val), shuffle=True,
                                  seed=getattr(args, "seed", 0) + 1, drop_last=True, repeat=True,
                                  num_processes=jax.process_count(),
                                  process_index=jax.process_index(),
@@ -492,7 +495,7 @@ class Runner:
         params, step = self._load_eval_params(ckpt)
         total = getattr(config.sampling, "num_samples4fid", 10000)
         bs = getattr(config.sampling, "batch_size", 16)
-        n_rounds = max(1, total // bs)
+        n_rounds = max(1, (total + bs - 1) // bs)  # ceil: never undershoot
         conditional = config.data.num_frames_cond > 0
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
@@ -635,7 +638,10 @@ class Runner:
             if (begin_ckpt is None or s >= begin_ckpt) and (end_ckpt is None or s <= end_ckpt)
         ) or [None]
         if freq and len(steps) > 1:
-            steps = [s for i, s in enumerate(steps) if i % freq == 0]
+            # thin by checkpoint NUMBER like the reference's
+            # range(begin, end, freq) (ncsn_runner.py:2370), not list index
+            base = begin_ckpt if begin_ckpt is not None else steps[0]
+            steps = [s for s in steps if (s - base) % freq == 0]
         for s in steps:
             params, loaded_step = self._load_eval_params(s)
             losses = []
@@ -733,7 +739,10 @@ class Runner:
         eligible = [s for s in steps if s is None or begin <= s <= end]
         freq = getattr(args, "freq", None)
         if freq and len(eligible) > 1:
-            eligible = [s for i, s in enumerate(eligible) if i % freq == 0]
+            # thin by checkpoint NUMBER (reference range(begin, end, freq),
+            # fast_fid ncsn_runner.py:2537), not list index
+            base = eligible[0]
+            eligible = [s for s in eligible if (s - base) % freq == 0]
         for idx, s in enumerate(eligible):
             params, loaded = self._load_eval_params(s)
             tag = s or loaded

@@ -250,6 +250,32 @@ def test_train_chunk_matches_per_step():
     assert np.isnan(float(mt["loss"][2]))
 
 
+def test_update_best_skips_nan():
+    from mcvd_tpu.runners import meters as meters_mod
+
+    m = meters_mod.init_meters()
+    best = meters_mod.update_best(m, {"fvd": float("nan"), "ssim": 0.5}, 10)
+    assert "fvd" not in best and best["ssim"]["value"] == 0.5
+    best = meters_mod.update_best(m, {"fvd": 12.0, "ssim": 0.6}, 20)
+    assert best["fvd"]["value"] == 12.0 and best["ssim"]["value"] == 0.6
+    # a later NaN never displaces a real best
+    best = meters_mod.update_best(m, {"fvd": float("nan")}, 30)
+    assert best["fvd"]["value"] == 12.0
+
+
+def test_loader_oversize_batch_with_drop_last_raises():
+    ds = StochasticMovingMNIST("/nonexistent", train=False, seq_len=4,
+                               num_digits=1, image_size=64, total_videos=8,
+                               synthetic_ok=True)
+    with pytest.raises(ValueError, match="drop_last"):
+        DataLoader(ds, batch_size=16, shuffle=False, drop_last=True,
+                   repeat=True)
+    # without drop_last a short final batch is fine
+    loader = DataLoader(ds, batch_size=16, shuffle=False, drop_last=False)
+    xb, _ = next(iter(loader))
+    assert xb.shape[0] == 8
+
+
 def test_uint8_wire_roundtrip_lossless():
     """wire_dtype=uint8: k/255 f32 values survive the host wire cast exactly,
     and the train loss on uint8 wire equals the f32 loss bit-for-bit for
