@@ -6,29 +6,55 @@ predicted 64x64 frames with the flagship smmnist_DDPM_big5-scale model
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Crash-proofing (round 3): the axon TPU backend has documented weather —
+compile latency varies 20-500s for identical programs, and the device can
+enter windows where any dispatch raises FAILED_PRECONDITION or hangs.  A
+single such window must not zero the round's headline metric, so this script
+is an orchestrator: the actual measurement runs in a fresh worker subprocess
+(``bench.py --worker``) with per-phase stderr telemetry, and the parent
+retries the whole measurement in a new process on failure/timeout until a
+wall-clock budget (MCVD_BENCH_BUDGET_S, default 3000s) is spent.  The JSON
+line is ALWAYS emitted with rc=0: on total failure it carries the best
+partial measurement seen (workers stream a PARTIAL_JSON line after every
+timed rep) plus ``"degraded": true`` and an ``"error"`` note.
+
 vs_baseline anchor: the reference publishes no throughput (BASELINE.md), so
 the A100 anchor is computed analytically from the measured model FLOPs:
   anchor = effective_flops_A100 / flops_per_generated_frame
 with A100 TF32 peak 156 TFLOP/s at an (optimistic for torch eager) 40% MFU —
 the reference runs fp32/TF32 torch eager with no AMP or compile. Details on
-stderr.
+stderr and in BENCH_NOTES.md.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+
+def log(msg: str) -> None:
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def main():
+# ---------------------------------------------------------------------------
+# Worker: one measurement attempt in this process. Emits telemetry per phase,
+# a PARTIAL_JSON stdout line after every successful timed rep, and finally
+# RESULT_JSON on full success.
+# ---------------------------------------------------------------------------
+
+
+def worker(batch_size: int) -> None:
     from mcvd_tpu.utils import setup_jax
 
-    setup_jax()
+    t_boot = time.time()
+    setup_jax()  # persistent compile cache — critical on this backend
     import jax
     import jax.numpy as jnp
 
     from mcvd_tpu import ops
+
+    log(f"phase=init devices={jax.devices()} dt={time.time()-t_boot:.1f}s")
 
     # Kernel/dtype picks, each measured end-to-end on TPU v5e (bf16, B=16;
     # log in BENCH_NOTES.md):
@@ -44,11 +70,11 @@ def main():
 
     from __graft_entry__ import _flagship_config
     from mcvd_tpu.diffusion import make_schedule
-    from mcvd_tpu.eval.video_gen import autoregressive_predict, init_noise, make_block_sampler
+    from mcvd_tpu.eval.video_gen import autoregressive_predict, make_block_sampler
     from mcvd_tpu.models import get_model
 
     config = _flagship_config()
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    B = batch_size
     num_frames_pred = 16
     subsample = 100
     config.sampling.subsample = subsample
@@ -69,13 +95,26 @@ def main():
     x = jnp.zeros((B, sz, sz, F * C))
     cond = jax.random.normal(key, (B, sz, sz, Fc * C))
     y = jnp.zeros((B,), jnp.int32)
+    t0 = time.time()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x, y, cond)
     params = params["params"]
+    log(f"phase=param_init dt={time.time()-t0:.1f}s")
 
     # model FLOPs for the analytic A100 anchor (XLA path: pallas kernel flops
     # are invisible to cost_analysis and would understate the anchor)
+    t0 = time.time()
     fwd = jax.jit(lambda p, x, y, c: model.apply({"params": p}, x, y, c))
     flops_fwd = fwd.lower(params, x, y, cond).compile().cost_analysis()["flops"]
+    log(f"phase=fwd_flops flops={flops_fwd/1e12:.2f}T dt={time.time()-t0:.1f}s")
+
+    import math
+
+    n_blocks = math.ceil(num_frames_pred / F)
+    model_evals = n_blocks * (subsample + 1)  # +1 denoise step
+    flops_per_video = model_evals * flops_fwd / B
+    a100_flops = 156e12 * 0.40
+    anchor_frames_per_sec = num_frames_pred * a100_flops / flops_per_video
+    log(f"B={B} blocks={n_blocks} evals={model_evals} anchor={anchor_frames_per_sec:.1f} f/s")
 
     block_sampler = make_block_sampler(config, model, sched)
 
@@ -89,45 +128,132 @@ def main():
         # transfer of a dependent scalar does.
         return float(jnp.sum(x))
 
-    # compile + warmup
+    def emit(frames_per_sec: float, tag: str, n_rep: int) -> None:
+        payload = {
+            "metric": "frames/sec/chip, 100-step DDPM, 16 pred frames 64x64 (ngf=64)",
+            "value": round(frames_per_sec, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(frames_per_sec / anchor_frames_per_sec, 3),
+        }
+        if tag == "PARTIAL_JSON":
+            payload["n_rep"] = n_rep
+        print(f"{tag}: {json.dumps(payload)}", flush=True)
+
+    # compile + warmup (separate phase so telemetry distinguishes a slow
+    # compile from a hung execution)
     t0 = time.time()
     force(run(jax.random.PRNGKey(1)))
-    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    log(f"phase=compile+first_run dt={time.time()-t0:.1f}s")
 
-    # timed runs
+    # timed runs; stream a partial result after every rep so the parent can
+    # salvage a measurement even if the backend dies mid-benchmark
     n_rep = 3
-    t0 = time.time()
+    times = []
     for i in range(n_rep):
+        t0 = time.time()
         force(run(jax.random.PRNGKey(2 + i)))
-    dt = (time.time() - t0) / n_rep
-    frames_per_sec = B * num_frames_pred / dt
+        times.append(time.time() - t0)
+        log(f"phase=timed_rep i={i} dt={times[-1]:.3f}s")
+        emit(B * num_frames_pred / (sum(times) / len(times)), "PARTIAL_JSON", len(times))
 
-    # analytic A100 anchor (reference torch eager, TF32)
-    import math
+    dt = sum(times) / len(times)
+    emit(B * num_frames_pred / dt, "RESULT_JSON", n_rep)
 
-    n_blocks = math.ceil(num_frames_pred / F)
-    model_evals = n_blocks * (subsample + 1)  # +1 denoise step
-    flops_per_video = model_evals * flops_fwd / B
-    a100_flops = 156e12 * 0.40
-    anchor_frames_per_sec = num_frames_pred * a100_flops / flops_per_video
 
-    print(
-        f"# B={B} blocks={n_blocks} evals={model_evals} "
-        f"fwd_flops={flops_fwd/1e12:.2f}T t={dt:.2f}s "
-        f"anchor={anchor_frames_per_sec:.1f} f/s",
-        file=sys.stderr,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "frames/sec/chip, 100-step DDPM, 16 pred frames 64x64 (ngf=64)",
-                "value": round(frames_per_sec, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(frames_per_sec / anchor_frames_per_sec, 3),
-            }
+# ---------------------------------------------------------------------------
+# Parent: retry the worker in fresh processes until success or budget spent;
+# always emit the JSON line.
+# ---------------------------------------------------------------------------
+
+
+def parse_tagged(lines: list[str], tag: str):
+    out = None
+    for ln in lines:
+        if ln.startswith(tag + ": "):
+            try:
+                out = json.loads(ln[len(tag) + 2 :])
+            except json.JSONDecodeError:
+                pass
+    return out
+
+
+def main() -> None:
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    budget_s = float(os.environ.get("MCVD_BENCH_BUDGET_S", "3000"))
+    attempt_timeout_s = float(os.environ.get("MCVD_BENCH_ATTEMPT_S", "900"))
+    deadline = time.time() + budget_s
+
+    best_partial = None  # highest-n_rep, then latest, PARTIAL_JSON seen
+    last_error = None
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        remaining = deadline - time.time()
+        this_timeout = min(attempt_timeout_s, max(120.0, remaining))
+        log(f"attempt={attempt} timeout={this_timeout:.0f}s remaining_budget={remaining:.0f}s")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), str(batch_size), "--worker"],
+                capture_output=True,
+                text=True,
+                timeout=this_timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            sys.stderr.write(proc.stderr)
+            sys.stderr.flush()
+            lines = proc.stdout.splitlines()
+            result = parse_tagged(lines, "RESULT_JSON")
+            partial = parse_tagged(lines, "PARTIAL_JSON")
+            if partial is not None and (
+                best_partial is None or partial.get("n_rep", 0) >= best_partial.get("n_rep", 0)
+            ):
+                best_partial = partial
+            if proc.returncode == 0 and result is not None:
+                print(json.dumps(result), flush=True)
+                return
+            tail = "\n".join(proc.stderr.splitlines()[-4:])
+            last_error = f"rc={proc.returncode}: {tail[-400:]}"
+            log(f"attempt={attempt} failed: {last_error}")
+        except subprocess.TimeoutExpired as e:
+            if e.stderr:
+                sys.stderr.write(e.stderr if isinstance(e.stderr, str) else e.stderr.decode())
+            if e.stdout:
+                out = e.stdout if isinstance(e.stdout, str) else e.stdout.decode()
+                partial = parse_tagged(out.splitlines(), "PARTIAL_JSON")
+                if partial is not None and (
+                    best_partial is None
+                    or partial.get("n_rep", 0) >= best_partial.get("n_rep", 0)
+                ):
+                    best_partial = partial
+            last_error = f"timeout after {this_timeout:.0f}s"
+            log(f"attempt={attempt} {last_error}")
+        if time.time() < deadline:
+            time.sleep(min(30.0, max(0.0, deadline - time.time())))
+
+    # Budget exhausted with no clean result: emit degraded JSON, rc=0.
+    if best_partial is not None:
+        best_partial.pop("n_rep", None)
+        best_partial["degraded"] = True
+        best_partial["error"] = f"backend unhealthy; best partial used ({last_error})"
+        print(json.dumps(best_partial), flush=True)
+    else:
+        print(
+            json.dumps(
+                {
+                    "metric": "frames/sec/chip, 100-step DDPM, 16 pred frames 64x64 (ngf=64)",
+                    "value": 0.0,
+                    "unit": "frames/sec",
+                    "vs_baseline": 0.0,
+                    "degraded": True,
+                    "error": f"TPU backend unhealthy for {budget_s:.0f}s: {last_error}",
+                }
+            ),
+            flush=True,
         )
-    )
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker(int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 16)
+    else:
+        main()

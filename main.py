@@ -114,16 +114,65 @@ def parse_args_and_config():
     return args, config
 
 
+def snapshot_code(exp_dir: str) -> str:
+    """Self-archive the full source tree to <exp>/code/ at train start
+    (reference: copy_scripts, main.py:333-356): package + configs + root
+    scripts, plus the git SHA and dirty diff when available, so any
+    experiment can be reproduced from its own directory."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    dst = os.path.join(exp_dir, "code")
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst, exist_ok=True)
+    ignore = shutil.ignore_patterns("__pycache__", "*.pyc", "*.so", ".git")
+    for name in ("mcvd_tpu", "configs", "tools"):
+        src = os.path.join(root, name)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(dst, name), ignore=ignore)
+    for name in ("main.py", "bench.py", "load_model_from_ckpt.py",
+                 "quick_sample.py", "__graft_entry__.py"):
+        if os.path.isfile(os.path.join(root, name)):
+            shutil.copy2(os.path.join(root, name), dst)
+    try:
+        run = lambda *cmd: subprocess.run(
+            cmd, cwd=root, capture_output=True, text=True, timeout=10).stdout
+        sha = run("git", "rev-parse", "HEAD").strip()
+        if sha:
+            with open(os.path.join(dst, "GIT_STATE"), "w") as f:
+                f.write(f"commit: {sha}\n")
+                diff = run("git", "diff", "HEAD")
+                if diff:
+                    f.write("\n# uncommitted diff at launch:\n" + diff)
+    except Exception:
+        pass
+    return dst
+
+
 def main():
     args, config = parse_args_and_config()
     logging.info("args: %s", {k: v for k, v in vars(args).items()})
 
-    from mcvd_tpu.utils import setup_jax
+    from mcvd_tpu.utils import maybe_init_distributed, setup_jax
 
     setup_jax()
+    if maybe_init_distributed():
+        import jax
+
+        logging.info("distributed: process %d/%d, %d global devices",
+                     jax.process_index(), jax.process_count(),
+                     len(jax.devices()))
     from mcvd_tpu.runners import Runner
 
     try:
+        is_train = not (args.video_gen or args.sample or args.test
+                        or args.fast_fid)
+        if is_train:
+            import jax
+
+            if jax.process_index() == 0:
+                logging.info("code snapshot: %s", snapshot_code(args.exp))
         runner = Runner(args, config, clone_config(config))
         if args.video_gen:
             runner.video_gen(ckpt=args.ckpt)

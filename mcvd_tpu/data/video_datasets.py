@@ -92,11 +92,22 @@ class _BaseVideoDataset:
             np.random.SeedSequence([self._seed, self._epoch, int(index)])
         )
 
+    def _pick_window(self, rng, n_frames: int, time_idx: int, start_at: int = 0):
+        """Sample the temporal window. Call AFTER the flip draw — the rng
+        consumption order (flip, then window) is part of the reproducibility
+        contract, identical in the cached and windowed-read paths. The end
+        bound is n_frames - start_at, NOT n_frames (reference kth.py quirk)."""
+        avail = n_frames - start_at
+        if self.random_time and avail > self.frames_per_sample:
+            time_idx = int(rng.choice(avail - self.frames_per_sample))
+        time_idx += start_at
+        end = min(time_idx + self.frames_per_sample, avail)
+        return time_idx, end
+
     def _cached_video(self, key, load_fn):
         """load_fn() -> tuple whose np.ndarray members count toward the
-        budget. LRU-evicted under the byte budget; budget<=0 disables."""
-        if self._cache_budget <= 0:
-            return load_fn()
+        budget. LRU-evicted under the byte budget; budget<=0 disables (the
+        caller must then use a windowed read, not a whole-video decode)."""
         with self._cache_lock:
             if key in self._cache:
                 self._cache.move_to_end(key)
@@ -152,21 +163,27 @@ class KTHDataset(_BaseVideoDataset):
 
         flip = rng.integers(2) == 0 if self.random_horizontal_flip else False
 
-        def load():
+        if self._cache_budget <= 0:
+            # cache disabled: decode only the sampled frame window
             with self.videos_ds.opener(self.videos_ds.shard_paths[shard_idx]) as f:
                 n = int(f["len"][str(idx)][()])
-                frames = np.stack([f[str(idx)][str(i)][()] for i in range(n)])
+                time_idx, end = self._pick_window(rng, n, time_idx, self.start_at)
+                frames = np.stack(
+                    [f[str(idx)][str(i)][()] for i in range(time_idx, end)])
                 target = int(f["target"][str(idx)][()])
-            return frames, target
+        else:
+            def load():
+                with self.videos_ds.opener(self.videos_ds.shard_paths[shard_idx]) as f:
+                    n = int(f["len"][str(idx)][()])
+                    frames = np.stack([f[str(idx)][str(i)][()] for i in range(n)])
+                    target = int(f["target"][str(idx)][()])
+                return frames, target
 
-        frames_all, target = self._cached_video((shard_idx, idx), load)
-        video_len = frames_all.shape[0] - self.start_at
-        if self.random_time and video_len > self.frames_per_sample:
-            time_idx = int(rng.choice(video_len - self.frames_per_sample))
-        time_idx += self.start_at
-        # end bound is video_len (NOT raw length): reference kth.py quirk
-        end = min(time_idx + self.frames_per_sample, video_len)
-        video = np.stack([_to_float01(fr) for fr in frames_all[time_idx:end]])
+            frames_all, target = self._cached_video((shard_idx, idx), load)
+            time_idx, end = self._pick_window(
+                rng, frames_all.shape[0], time_idx, self.start_at)
+            frames = frames_all[time_idx:end]
+        video = np.stack([_to_float01(fr) for fr in frames])
         if flip:
             video = _hflip(video)
         return (video, target) if self.with_target else video
@@ -199,19 +216,24 @@ class BAIRDataset(_BaseVideoDataset):
         shard_idx, idx_in_shard = self.videos_ds.get_indices(video_index)
         flip = rng.integers(2) == 0 if self.random_horizontal_flip else False
 
-        def load():
+        if self._cache_budget <= 0:
             with self.videos_ds.opener(self.videos_ds.shard_paths[shard_idx]) as f:
                 n = int(f["len"][str(idx_in_shard)][()])
+                time_idx, end = self._pick_window(rng, n, time_idx)
                 frames = np.stack(
-                    [f[str(idx_in_shard)][str(i)][()] for i in range(n)])
-            return (frames,)
+                    [f[str(idx_in_shard)][str(i)][()] for i in range(time_idx, end)])
+        else:
+            def load():
+                with self.videos_ds.opener(self.videos_ds.shard_paths[shard_idx]) as f:
+                    n = int(f["len"][str(idx_in_shard)][()])
+                    frames = np.stack(
+                        [f[str(idx_in_shard)][str(i)][()] for i in range(n)])
+                return (frames,)
 
-        (frames_all,) = self._cached_video((shard_idx, idx_in_shard), load)
-        video_len = frames_all.shape[0]
-        if self.random_time and video_len > self.frames_per_sample:
-            time_idx = int(rng.choice(video_len - self.frames_per_sample))
-        end = min(time_idx + self.frames_per_sample, video_len)
-        video = np.stack([_to_float01(fr) for fr in frames_all[time_idx:end]])
+            (frames_all,) = self._cached_video((shard_idx, idx_in_shard), load)
+            time_idx, end = self._pick_window(rng, frames_all.shape[0], time_idx)
+            frames = frames_all[time_idx:end]
+        video = np.stack([_to_float01(fr) for fr in frames])
         if flip:
             video = _hflip(video)
         video = _hue_jitter(video, self.color_jitter, rng)
@@ -265,22 +287,28 @@ class UCF101Dataset(_BaseVideoDataset):
             crop_c = int((width - self.image_size) / 2)
         flip = rng.integers(2) == 0 if self.random_horizontal_flip else False
 
-        def load():
+        if self._cache_budget <= 0:
             with self.videos_ds.opener(self.videos_ds.shard_paths[shard_idx]) as f:
                 target = int(f["target"][str(idx_in_shard)][()])
                 n = int(f["len"][str(idx_in_shard)][()])
+                time_idx, end = self._pick_window(rng, n, time_idx)
                 frames = np.stack(
-                    [f[str(idx_in_shard)][str(i)][()] for i in range(n)])
-            return frames, target
+                    [f[str(idx_in_shard)][str(i)][()] for i in range(time_idx, end)])
+        else:
+            def load():
+                with self.videos_ds.opener(self.videos_ds.shard_paths[shard_idx]) as f:
+                    target = int(f["target"][str(idx_in_shard)][()])
+                    n = int(f["len"][str(idx_in_shard)][()])
+                    frames = np.stack(
+                        [f[str(idx_in_shard)][str(i)][()] for i in range(n)])
+                return frames, target
 
-        frames_all, target = self._cached_video((shard_idx, idx_in_shard), load)
-        video_len = frames_all.shape[0]
-        if self.random_time and video_len > self.frames_per_sample:
-            time_idx = int(rng.choice(video_len - self.frames_per_sample))
-        end = min(time_idx + self.frames_per_sample, video_len)
+            frames_all, target = self._cached_video((shard_idx, idx_in_shard), load)
+            time_idx, end = self._pick_window(rng, frames_all.shape[0], time_idx)
+            frames = frames_all[time_idx:end]
         video = np.stack(
             [_to_float01(fr[:, crop_c : crop_c + self.image_size])
-             for fr in frames_all[time_idx:end]])
+             for fr in frames])
         if flip:
             video = _hflip(video)
         return (video, target) if self.with_target else video

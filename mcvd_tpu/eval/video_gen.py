@@ -355,7 +355,10 @@ def run_video_gen(
     # ---- aggregate: best-of-preds_per_test (reference: ncsn_runner.py:2196-2229)
     mse_arr = np.asarray(vid["mse"])
     if len(mse_arr) == 0:
-        return {"ckpt": ckpt, "preds_per_test": preds_per_test}
+        raise ValueError(
+            "run_video_gen consumed zero batches — the loader was empty "
+            "(e.g. sampling.batch_size > len(test_ds)*preds_per_test with "
+            "drop_last); shrink sampling.batch_size or grow the test split")
     mse_list = mse_arr.reshape(-1, preds_per_test).min(-1)
     psnr_list = (10 * np.log10(1 / np.maximum(mse_arr, 1e-20))).reshape(-1, preds_per_test).max(-1)
     ssim_list = np.asarray(vid["ssim"]).reshape(-1, preds_per_test).max(-1)

@@ -105,18 +105,25 @@ def group_norm_folded(
     S = int(np.prod(x.shape[1:-1]))
     M = jnp.asarray(_gn_group_matrix(CN, G, frames_last))
 
+    # Precision.HIGHEST: on TPU the default matmul precision truncates f32
+    # operands to bf16 (~0.4% per term), and the one-pass E[x^2]-mean^2
+    # variance amplifies that via cancellation — these dots must accumulate
+    # in true f32 or the documented "stats in fp32" guarantee silently
+    # degrades on the target backend (ADVICE r2). Cost is negligible: norms
+    # are ~0.29ms of a 4.1ms eval (BENCH_NOTES.md).
+    hi = jax.lax.Precision.HIGHEST
     xf = x.reshape(B, S, CN).astype(jnp.float32)
     ones = jnp.ones((S,), jnp.float32)
-    s1c = jnp.einsum("bsc,s->bc", xf, ones)            # (B, CN) on the MXU
-    s2c = jnp.einsum("bsc,s->bc", xf * xf, ones)
+    s1c = jnp.einsum("bsc,s->bc", xf, ones, precision=hi)  # (B, CN) on the MXU
+    s2c = jnp.einsum("bsc,s->bc", xf * xf, ones, precision=hi)
     n = S * (CN // G)
-    s1g = s1c @ M                                       # (B, G)
-    s2g = s2c @ M
+    s1g = jnp.matmul(s1c, M, precision=hi)              # (B, G)
+    s2g = jnp.matmul(s2c, M, precision=hi)
     mean_g = s1g / n
     var_g = s2g / n - mean_g * mean_g
     rstd_g = jax.lax.rsqrt(var_g + eps)
-    A = rstd_g @ M.T                                    # (B, CN)
-    Bc = (-mean_g * rstd_g) @ M.T
+    A = jnp.matmul(rstd_g, M.T, precision=hi)           # (B, CN)
+    Bc = jnp.matmul(-mean_g * rstd_g, M.T, precision=hi)
     if gamma is not None:
         g = jnp.repeat(gamma, frames_last) if frames_last > 1 else gamma
         b = jnp.repeat(beta, frames_last) if frames_last > 1 else beta

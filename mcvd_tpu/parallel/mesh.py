@@ -41,6 +41,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global_batch(mesh: Mesh, x, sharding: Optional[NamedSharding] = None):
+    """Device-put a batch for a possibly multi-process mesh.
+
+    Single-process: plain device_put (or pass-through numpy for jit's
+    implicit async transfer when sharding is None). Multi-process: `x` is
+    this process's LOCAL shard of the batch (the per-host DataLoader slice);
+    assemble the global jax.Array whose 'data'-sharded axes are the
+    concatenation of every process's local data. This is the host->device
+    seam of the multi-host launch path (SURVEY §2.5)."""
+    sharding = sharding if sharding is not None else data_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def has_tensor_axis(mesh: Optional[Mesh]) -> bool:
     return (mesh is not None and "tensor" in mesh.axis_names
             and mesh.shape["tensor"] > 1)

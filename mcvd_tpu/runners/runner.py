@@ -31,8 +31,10 @@ from ..data import (
 from ..diffusion import make_schedule
 from ..eval.video_gen import make_block_sampler, init_noise, run_video_gen
 from ..models import get_model
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from ..parallel import data_sharding, make_mesh
-from ..parallel.mesh import batch_sharding as mesh_batch_sharding
+from ..parallel.mesh import batch_sharding as mesh_batch_sharding, put_global_batch
 from ..train import (
     checkpoints,
     create_train_state,
@@ -118,19 +120,41 @@ class Runner:
                                       config.data.num_frames),
         )
         bs = config.training.batch_size
-        # per-host input sharding: each process loads a disjoint 1/process_count
-        # slice of the dataset (SURVEY §2.5 TPU plan; the reference is
-        # single-process DataParallel and has no analog)
+        # per-host input sharding (SURVEY §2.5 TPU plan; the reference is
+        # single-process DataParallel and has no analog): batch_size is the
+        # GLOBAL batch; each process loads a disjoint 1/process_count slice
+        # of the dataset in bs/process_count-sized local batches, assembled
+        # into global arrays by put_global_batch.
+        n_proc = jax.process_count()
+        is_main = jax.process_index() == 0
+        if bs % max(1, n_proc):
+            raise ValueError(
+                f"training.batch_size={bs} (global) must be a multiple of "
+                f"jax.process_count()={n_proc}")
+        bs_local = bs // max(1, n_proc)
+        if n_proc > 1:
+            # Establish the cross-process collective context NOW, while the
+            # processes are still in lock-step: the first collective performs
+            # a bounded (~30s) rendezvous, and the upcoming model/step
+            # compiles can skew processes by minutes (cache asymmetry) —
+            # a first-contact rendezvous there deadline-exceeds.
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("mcvd:train_start")
         num_workers = int(getattr(config.data, "num_workers", 0) or 0)
-        loader = DataLoader(train_ds, batch_size=bs, shuffle=True, seed=getattr(args, "seed", 0),
+        loader = DataLoader(train_ds, batch_size=bs_local, shuffle=True,
+                            seed=getattr(args, "seed", 0),
                             drop_last=True, repeat=True,
                             num_processes=jax.process_count(),
                             process_index=jax.process_index(),
                             num_workers=num_workers)
-        # clamp the val batch to the (possibly subset) per-host test split —
-        # drop_last+repeat with an oversize batch would otherwise never yield
-        bs_val = min(bs, len(test_ds) // max(1, jax.process_count()))
-        test_loader = DataLoader(test_ds, batch_size=max(1, bs_val), shuffle=True,
+        # clamp the (global) val batch to the split — drop_last+repeat with
+        # an oversize batch would otherwise never yield — and to a multiple
+        # of the mesh data axis (device_put sharding; divisibility by
+        # process_count follows since the data axis spans all processes)
+        bs_val = self._eval_batch_size(
+            bs, (len(test_ds) // max(1, n_proc)) * max(1, n_proc), "val loader")
+        test_loader = DataLoader(test_ds, batch_size=bs_val // max(1, n_proc), shuffle=True,
                                  seed=getattr(args, "seed", 0) + 1, drop_last=True, repeat=True,
                                  num_processes=jax.process_count(),
                                  process_index=jax.process_index(),
@@ -158,16 +182,40 @@ class Runner:
         # dispatch (amortizes the ~30ms dispatch+sync for tiny models whose
         # step compute is far below it).
         K = max(1, int(getattr(config.training, "steps_per_dispatch", 1)))
+        # Donate the state buffers (halves peak state memory). The axon
+        # client rejected donation in r1/r2; the r3 probe and a tiny CLI
+        # drive both pass (after fixing the params/ema aliasing that
+        # double-donated buffers), gated on a live probe each launch.
+        from ..utils import donation_supported
+
+        donate = (bool(getattr(config.training, "donate", True))
+                  and donation_supported())
         if K > 1:
             chunk_fn = make_train_chunk(self.model, self.sched, config, K,
-                                        mesh=self.mesh)
+                                        mesh=self.mesh, donate=donate)
         else:
-            step_fn = make_train_step(self.model, self.sched, config, mesh=self.mesh)
+            step_fn = make_train_step(self.model, self.sched, config,
+                                      mesh=self.mesh, donate=donate)
         eval_fn = make_eval_loss_step(self.model, self.sched, config, mesh=self.mesh)
         sharding = data_sharding(self.mesh)
+        # multi-process: local batches must be assembled into global arrays
+        # with the jit's exact in_shardings (single-process keeps the numpy
+        # fast path — jit's implicit transfer is async, see below)
+        batch_sh = mesh_batch_sharding(self.mesh, 5, h_axis=2)
+        chunk_sh = NamedSharding(self.mesh, P(None, *batch_sh.spec))
+
+        def to_global(x, sh):
+            return put_global_batch(self.mesh, x, sh) if n_proc > 1 else x
+
         wire = str(getattr(config.training, "wire_dtype", "float32"))
-        wire_np = {"float32": None, "float16": np.float16,
-                   "bfloat16": jnp.bfloat16, "uint8": np.uint8}.get(wire)
+        wire_table = {"float32": None, "float16": np.float16,
+                      "bfloat16": jnp.bfloat16, "uint8": np.uint8}
+        if wire not in wire_table:
+            raise ValueError(
+                f"training.wire_dtype={wire!r} is not one of "
+                f"{sorted(wire_table)} (a typo here would silently fall "
+                "back to full-f32 wire transport)")
+        wire_np = wire_table[wire]
         if wire_np is np.uint8 and (
                 float(getattr(config.data, "color_jitter", 0.0) or 0.0) > 0
                 or getattr(config.data, "gaussian_dequantization", False)):
@@ -219,12 +267,13 @@ class Runner:
             if K > 1:
                 n_active = min(K, n_iters - step)
                 Xs = np.stack([next(data_iter)[0] for _ in range(K)])
-                state, metrics = chunk_fn(state, Xs, k, jnp.int32(n_active))
+                state, metrics = chunk_fn(state, to_global(Xs, chunk_sh), k,
+                                          jnp.int32(n_active))
                 prev_step, step = step, step + n_active
                 last = n_active - 1
             else:
                 X, _ = next(data_iter)
-                state, metrics = step_fn(state, X, k)
+                state, metrics = step_fn(state, to_global(X, batch_sh), k)
                 prev_step, step = step, step + 1
                 last = None
             if crossed(sync_every, prev_step, step):
@@ -267,17 +316,28 @@ class Runner:
             if crossed(val_freq, prev_step, step):
                 Xv, _ = next(test_iter)
                 rng, k = jax.random.split(rng)
-                Xv = jax.device_put(jnp.asarray(Xv), sharding)
+                Xv = put_global_batch(self.mesh, np.asarray(Xv, np.float32),
+                                      batch_sh)
                 val = float(eval_fn(state.ema_params, Xv, k))
                 meters["losses_test"].update(val, step)
                 logger.info("step %d | test loss %.2f", step, val)
             if crossed(ckpt_freq, prev_step, step):
+                # checkpoint saves are COLLECTIVE under multi-process (all
+                # processes call; orbax's primary host writes); meters/plots
+                # are plain host files, process-0 only
                 checkpoints.save_checkpoint(self._ckpt_dir(), state)
-                meters_mod.save_meters(meters, args.log_path)
-                plots.plot_graphs_process(meters, args.log_path)
+                if is_main:
+                    meters_mod.save_meters(meters, args.log_path)
+                    plots.plot_graphs_process(meters, args.log_path)
             if crossed(snapshot_freq, prev_step, step):
-                checkpoints.save_checkpoint(self._ckpt_dir(), state, name=f"checkpoint_{step}")
-                if getattr(config.training, "snapshot_sampling", True):
+                # with steps_per_dispatch K>1 the crossing step can overshoot
+                # the multiple by up to K-1; name the snapshot after the
+                # crossed multiple so test()/fast_fid freq-thinning finds it
+                snap_step = (step // snapshot_freq) * snapshot_freq
+                checkpoints.save_checkpoint(
+                    self._ckpt_dir(), state, name=f"checkpoint_{snap_step}")
+                # in-training eval is process-0-local (collective-free jit)
+                if getattr(config.training, "snapshot_sampling", True) and is_main:
                     try:
                         vm = self._video_gen_inner(state, eval_test_ds, train=True, ckpt=step)
                         logger.info("snapshot metrics @%d: %s", step, vm)
@@ -294,7 +354,8 @@ class Runner:
                     except Exception as e:  # eval must not kill training
                         logger.exception("in-training video_gen failed: %s", e)
         checkpoints.save_checkpoint(self._ckpt_dir(), state)
-        meters_mod.save_meters(meters, args.log_path)
+        if is_main:
+            meters_mod.save_meters(meters, args.log_path)
         if step < n_iters:
             logger.info("training paused at step %d (segment budget)", step)
         else:
@@ -311,9 +372,27 @@ class Runner:
         params = state.ema_params if getattr(self.config.model, "ema", False) else state.params
         return params, int(state.step)
 
+    def _eval_batch_size(self, bs, n_avail, what: str) -> int:
+        """Clamp an eval/val batch to the available split AND round down to a
+        multiple of the mesh data axis: jax.device_put with a P('data')
+        NamedSharding throws on a non-divisible batch on a multi-chip mesh,
+        and drop_last with an oversize batch silently yields zero batches."""
+        d = int(self.mesh.shape.get("data", 1)) if self.mesh is not None else 1
+        out = (min(int(bs), int(n_avail)) // d) * d
+        if out <= 0:
+            raise ValueError(
+                f"{what}: batch_size={bs} with only {n_avail} available "
+                f"samples cannot fill one multiple of the mesh data axis "
+                f"({d}); shrink the mesh or grow the split/subset")
+        return out
+
     def _test_loader_repeated(self, test_ds, preds_per_test, batch_size):
         """Each video repeated preds_per_test times (reference my_collate,
-        ncsn_runner.py:1392-1414)."""
+        ncsn_runner.py:1392-1414). Batch size is clamped to the repeated
+        split (an oversize batch with drop_last would silently yield zero
+        batches) and to the mesh data axis."""
+        batch_size = self._eval_batch_size(
+            batch_size, len(test_ds) * preds_per_test, "video_gen loader")
 
         class Repeated:
             def __init__(self, ds, r):
@@ -459,7 +538,8 @@ class Runner:
         params, step = self._load_eval_params(ckpt)
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
-        bs = getattr(config.sampling, "batch_size", 16)
+        bs = self._eval_batch_size(
+            getattr(config.sampling, "batch_size", 16), len(test_ds), "sample()")
         loader = DataLoader(test_ds, batch_size=bs, shuffle=False, drop_last=True)
         X, _ = next(iter(loader))
         Xt = data_transform(config, jnp.asarray(X))
@@ -616,8 +696,9 @@ class Runner:
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
         # clamp: a batch size above the (possibly subset) split with
-        # drop_last would yield zero batches and a NaN mean
-        bs = min(config.test.batch_size, len(test_ds))
+        # drop_last would yield zero batches and a NaN mean; also a multiple
+        # of the mesh data axis (the batch is device_put with P('data'))
+        bs = self._eval_batch_size(config.test.batch_size, len(test_ds), "test()")
         loader = DataLoader(test_ds, batch_size=bs, shuffle=False, drop_last=True)
         eval_fn = make_eval_loss_step(self.model, self.sched, config, mesh=self.mesh)
         sharding = data_sharding(self.mesh)

@@ -24,7 +24,13 @@ def _checkpointer():
 def save_checkpoint(ckpt_dir: str, state: TrainState, name: str = "checkpoint") -> str:
     path = os.path.join(os.path.abspath(ckpt_dir), name)
     ckptr = _checkpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    if jax.process_count() > 1:
+        # Collective save: EVERY process must call this (orbax synchronizes
+        # across processes and only the primary host writes replicated
+        # arrays) — a process-0-only call would deadlock on the barrier.
+        ckptr.save(path, state, force=True)
+    else:
+        ckptr.save(path, jax.device_get(state), force=True)
     return path
 
 

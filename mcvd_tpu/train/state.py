@@ -75,7 +75,10 @@ def create_train_state(config, model, sample_args, rng) -> TrainState:
     return TrainState(
         params=params,
         opt_state=opt_state,
-        ema_params=jax.tree_util.tree_map(lambda p: p, params),
+        # a REAL buffer copy, not an alias: with donation an aliased tree
+        # donates the same buffer twice (InvalidArgument at Execute)
+        ema_params=jax.jit(
+            lambda p: jax.tree_util.tree_map(jnp.copy, p))(params),
         step=jnp.zeros((), jnp.int32),
         epoch=jnp.zeros((), jnp.int32),
     )

@@ -127,8 +127,9 @@ def _make_step_body(model, sched, config):
 
 def make_train_step(model, sched: DiffusionSchedule, config, mesh: Optional[Mesh] = None,
                     donate: bool = False) -> Callable:
-    # donate=True halves state memory but the current axon TPU backend
-    # rejects donated buffers (InvalidArgument); keep opt-in until fixed.
+    # donate=True halves peak state memory. The axon TPU backend rejected
+    # donated buffers (InvalidArgument) through r2 but accepts them as of
+    # r3 — callers gate on utils.donation_supported() (live probe).
     """Returns step(state, X, key) -> (state, metrics). X is (B,T,H,W,C) in
     [0,1], sharded over 'data' if a mesh is given."""
     step = _make_step_body(model, sched, config)
@@ -149,7 +150,8 @@ def make_train_step(model, sched: DiffusionSchedule, config, mesh: Optional[Mesh
 
 
 def make_train_chunk(model, sched: DiffusionSchedule, config, K: int,
-                     mesh: Optional[Mesh] = None) -> Callable:
+                     mesh: Optional[Mesh] = None,
+                     donate: bool = False) -> Callable:
     """Returns chunk(state, Xs, key, n_active) -> (state, metrics): K train
     steps chained in ONE jitted lax.scan dispatch.
 
@@ -196,8 +198,9 @@ def make_train_chunk(model, sched: DiffusionSchedule, config, K: int,
         # H over 'tensor' when present
         chunk_sh = NamedSharding(mesh, P(None, *bs.spec))
         return jax.jit(chunk, in_shardings=(repl, chunk_sh, repl, repl),
-                       out_shardings=(repl, repl))
-    return jax.jit(chunk)
+                       out_shardings=(repl, repl),
+                       donate_argnums=(0,) if donate else ())
+    return jax.jit(chunk, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_loss_step(model, sched: DiffusionSchedule, config,

@@ -11,8 +11,14 @@ def setup_jax(cache_dir: str | None = None, enable_cache: bool = True) -> None:
     on-disk caching matters a lot) and other global knobs."""
     import jax
 
+    if os.environ.get("MCVD_FORCE_CPU"):
+        # The JAX_PLATFORMS env var alone does not win over a preset PJRT
+        # plugin platform (CLAUDE.md); the config update does. Used by the
+        # multi-process CPU tests to drive main.py end-to-end off-TPU.
+        jax.config.update("jax_platforms", "cpu")
     if enable_cache:
-        cache_dir = cache_dir or os.path.expanduser("~/.cache/jax_comp")
+        cache_dir = (cache_dir or os.environ.get("MCVD_CACHE_DIR")
+                     or os.path.expanduser("~/.cache/jax_comp"))
         os.makedirs(cache_dir, exist_ok=True)
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -20,6 +26,59 @@ def setup_jax(cache_dir: str | None = None, enable_cache: bool = True) -> None:
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         except Exception:
             pass
+
+
+def maybe_init_distributed() -> bool:
+    """Env-gated multi-host SPMD launch (SURVEY §2.5 TPU plan; the reference
+    is single-process DataParallel, ncsn_runner.py:266, and has no analog).
+
+    Set MCVD_DIST=1 to call jax.distributed.initialize() before backend
+    init. On a real TPU pod slice the coordinator/process topology is
+    autodetected; elsewhere (and in the multi-process CPU tests) pass it
+    explicitly via MCVD_COORDINATOR=host:port, MCVD_NUM_PROCESSES and
+    MCVD_PROCESS_ID. After this returns True, jax.devices() is the GLOBAL
+    device list and jax.process_count()/process_index() drive the per-host
+    data sharding in the Runner.
+    """
+    if os.environ.get("MCVD_DIST", "") not in ("1", "true"):
+        return False
+    import jax
+
+    try:
+        # cross-process CPU collectives (no-op for TPU backends)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    kw = {}
+    if os.environ.get("MCVD_COORDINATOR"):
+        kw["coordinator_address"] = os.environ["MCVD_COORDINATOR"]
+    if os.environ.get("MCVD_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["MCVD_NUM_PROCESSES"])
+    if os.environ.get("MCVD_PROCESS_ID"):
+        kw["process_id"] = int(os.environ["MCVD_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
+    return True
+
+
+_DONATION_OK: bool | None = None
+
+
+def donation_supported() -> bool:
+    """Probe whether the backend accepts donated buffers (the axon TPU
+    client historically raised InvalidArgument on donation — re-probed each
+    round, tools/probe_axon.py; OK as of r3). Cached per process."""
+    global _DONATION_OK
+    if _DONATION_OK is None:
+        import jax
+        import jax.numpy as jnp
+
+        try:
+            f = jax.jit(lambda x: x + 1.0, donate_argnums=(0,))
+            _ = float(jnp.sum(f(jnp.ones((8, 128)))))
+            _DONATION_OK = True
+        except Exception:
+            _DONATION_OK = False
+    return _DONATION_OK
 
 
 def force_result(x) -> float:

@@ -43,6 +43,30 @@ def test_kth_convert_roundtrip(tmp_path):
     assert len(ds_test) == 2  # person 21 x 2 classes
 
 
+def test_kth_windowed_read_matches_cached(tmp_path):
+    """cache_mb=0 uses a windowed h5 read (only the sampled frames are
+    decoded) and must produce byte-identical samples to the cached
+    whole-video path — the rng consumption order (flip, then window) is the
+    reproducibility contract (ADVICE r2: the no-cache path must not decode
+    the entire video)."""
+    raw = tmp_path / "kth_raw"
+    raw.mkdir()
+    for person in (1, 2):
+        write_avi(str(raw / f"person{person:02d}_boxing_d1_uncomp.avi"),
+                  n_frames=20, seed=person)
+    out = tmp_path / "KTH64_h5"
+    kth_convert(str(raw), str(out), image_size=64)
+    kw = dict(frames_per_sample=4, train=True, random_time=True,
+              random_horizontal_flip=True, seed=3)
+    cached = KTHDataset(str(out), cache_mb=64, **kw)
+    windowed = KTHDataset(str(out), cache_mb=0, **kw)
+    for i in range(len(cached)):
+        vc, tc = cached[i]
+        vw, tw = windowed[i]
+        assert tc == tw
+        np.testing.assert_array_equal(vc, vw)
+
+
 def test_ucf101_convert_roundtrip(tmp_path):
     raw = tmp_path / "ucf_raw"
     (raw / "ApplyEyeMakeup").mkdir(parents=True)

@@ -1,0 +1,96 @@
+"""Regression tests for eval/val batch edge cases on a multi-device mesh
+(VERDICT r2 "What's weak" #5/#6 + ADVICE r2 items):
+
+* `_eval_batch_size` rounds batches to a multiple of the mesh data axis —
+  `jax.device_put` with a P('data') NamedSharding throws on a non-divisible
+  batch (reference has no analog: DataParallel pads/slices implicitly).
+* `_test_loader_repeated` clamps an oversize sampling.batch_size (drop_last
+  would otherwise silently yield zero batches).
+* `run_video_gen` raises on an empty loader instead of returning a
+  metric-less dict.
+* `training.wire_dtype` typos raise instead of silently falling back to f32.
+* With steps_per_dispatch K>1, snapshots are named after the crossed
+  snapshot_freq multiple so test()/fast_fid freq-thinning finds them.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tests.test_runner_train import make_args, make_cfg
+
+
+def _make_runner(tmp_path, **training_kw):
+    from mcvd_tpu.runners.runner import Runner
+
+    cfg = make_cfg(str(tmp_path), **training_kw)
+    args = make_args(str(tmp_path))
+    return Runner(args, cfg), cfg, args
+
+
+def test_eval_batch_size_rounds_to_mesh(tmp_path):
+    runner, _, _ = _make_runner(tmp_path)
+    d = int(runner.mesh.shape.get("data", 1))
+    assert d == jax.device_count()  # 8-device virtual mesh in conftest
+    # rounds bs down to a multiple of the data axis
+    assert runner._eval_batch_size(d + 3, 100, "t") == d
+    # clamps to the split first, then rounds
+    assert runner._eval_batch_size(100, d + d - 1, "t") == d
+    # too-small split cannot fill one multiple -> explicit error
+    with pytest.raises(ValueError, match="mesh data axis"):
+        runner._eval_batch_size(16, d - 1, "t")
+
+
+def test_test_loader_repeated_clamps_oversize_batch(tmp_path):
+    runner, cfg, _ = _make_runner(tmp_path)
+
+    class TinyDS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return np.full((3, 4, 4, 1), i, np.float32), 0
+
+    # batch_size far above len(ds)*preds_per_test: must clamp, not starve
+    loader = runner._test_loader_repeated(TinyDS(), preds_per_test=2,
+                                          batch_size=512)
+    batches = list(loader)
+    assert len(batches) >= 1
+    X, _ = batches[0]
+    assert X.shape[0] == 8  # 4 videos x 2 repeats, mesh-divisible
+    # each video appears preds_per_test times, adjacent (reference my_collate)
+    vals = X[:, 0, 0, 0, 0]
+    np.testing.assert_array_equal(vals, [0, 0, 1, 1, 2, 2, 3, 3])
+
+
+def test_run_video_gen_raises_on_empty_loader():
+    from mcvd_tpu.diffusion import make_schedule
+    from mcvd_tpu.eval.video_gen import run_video_gen
+    from mcvd_tpu.models import get_model
+    from tests.test_video_gen_harness import make_config
+
+    config = make_config()
+    model = get_model(config)
+    sched = make_schedule(config)
+    with pytest.raises(ValueError, match="zero batches"):
+        run_video_gen(config, model, {}, sched, iter([]),
+                      jax.random.PRNGKey(0))
+
+
+def test_wire_dtype_typo_raises(tmp_path):
+    runner, _, _ = _make_runner(tmp_path, wire_dtype="fp16")
+    with pytest.raises(ValueError, match="wire_dtype"):
+        runner.train()
+
+
+def test_snapshot_named_after_crossed_multiple(tmp_path):
+    # K=3 dispatch, snapshot_freq=5: the crossing lands on step 6, but the
+    # snapshot must be named checkpoint_5 for freq-thinned ckpt sweeps
+    runner, cfg, args = _make_runner(
+        tmp_path, steps_per_dispatch=3, n_iters=7, snapshot_freq=5,
+        snapshot_sampling=False, wire_dtype="float32")
+    runner.train()
+    assert os.path.isdir(os.path.join(args.log_path, "checkpoint_5"))
+    assert not os.path.isdir(os.path.join(args.log_path, "checkpoint_6"))

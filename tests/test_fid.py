@@ -54,3 +54,34 @@ def test_get_fid_pr_smoke():
     res = get_fid_pr(rng.randn(64, 8), rng.randn(64, 8))
     assert set(res) == {"fid", "precision", "recall"}
     assert 0 <= res["precision"] <= 1 and 0 <= res["recall"] <= 1
+
+
+def test_nearest_neighbor_grid(tmp_path):
+    """Memorization-check grid (reference evaluation/nearest_neighbor.py):
+    planted exact copies must be found as their own nearest neighbor (via
+    either orientation — the flip distance takes the min)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from fid_pr import nearest_neighbor_grid
+
+    rng = np.random.RandomState(0)
+    real = rng.rand(12, 8, 8, 3).astype(np.float32)
+    # gen[0] copies real[5]; gen[1] copies real[2] FLIPPED
+    gen = rng.rand(3, 8, 8, 3).astype(np.float32)
+    gen[0] = real[5]
+    gen[1] = real[2][:, ::-1]
+
+    def feats(x):
+        return x.reshape(len(x), -1).astype(np.float64)
+
+    out = str(tmp_path / "nn.png")
+    nn = nearest_neighbor_grid(real, gen, feats(real), feats(gen),
+                               feats(gen[:, :, ::-1]), k=2, n_samples=3,
+                               out_path=out)
+    assert nn.shape == (3, 2)
+    assert nn[0, 0] == 5 and nn[1, 0] == 2
+    assert os.path.isfile(out)
+    from PIL import Image
+
+    w, h = Image.open(out).size
+    assert (w, h) == (8 * 3, 8 * 3)  # (k+1) cols x n rows of 8px tiles

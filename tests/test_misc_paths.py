@@ -105,3 +105,23 @@ def test_one_frame_at_a_time_autoregression():
     # 3 frames predicted one at a time, truncated to num_frames_pred*C
     assert pred.shape == (B, 16, 16, 3)
     assert bool(jnp.isfinite(pred).all())
+
+
+def test_snapshot_code(tmp_path):
+    """Train-start self-archival (reference copy_scripts, main.py:333-356):
+    full package + configs + entry scripts land in <exp>/code, with the git
+    SHA recorded."""
+    import importlib.util, os, sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "mcvd_main", os.path.join(root, "main.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    dst = mod.snapshot_code(str(tmp_path / "exp"))
+    assert os.path.isfile(os.path.join(dst, "main.py"))
+    assert os.path.isfile(os.path.join(dst, "mcvd_tpu", "runners", "runner.py"))
+    assert os.path.isdir(os.path.join(dst, "configs"))
+    assert not os.path.isdir(os.path.join(dst, "mcvd_tpu", "__pycache__"))
+    with open(os.path.join(dst, "GIT_STATE")) as f:
+        assert f.readline().startswith("commit: ")

@@ -52,6 +52,33 @@ def load_images(path: str) -> np.ndarray:
     return np.stack(imgs)
 
 
+def nearest_neighbor_grid(real: np.ndarray, gen: np.ndarray,
+                          feats_real: np.ndarray, feats_gen: np.ndarray,
+                          feats_gen_flip: np.ndarray, k: int,
+                          n_samples: int, out_path: str) -> np.ndarray:
+    """Memorization check (reference: evaluation/nearest_neighbor.py:70-113):
+    for each generated sample, the k nearest TRAINING images by Inception-
+    feature L2 distance — taking the min over the sample and its horizontal
+    flip — dumped as a grid png, one row per sample: [sample, nn_1..nn_k].
+    Returns the (n_samples, k) neighbor indices."""
+    n = min(n_samples, len(gen))
+    d = np.linalg.norm(feats_gen[:n, None] - feats_real[None], axis=-1)
+    d_flip = np.linalg.norm(feats_gen_flip[:n, None] - feats_real[None], axis=-1)
+    dist = np.minimum(d, d_flip)
+    nn_idx = np.argsort(dist, axis=1)[:, :k]
+    rows = []
+    for i in range(n):
+        rows.append(np.concatenate([gen[i]] + [real[j] for j in nn_idx[i]],
+                                   axis=1))
+    grid = (np.clip(np.concatenate(rows, axis=0), 0, 1) * 255).astype(np.uint8)
+    from PIL import Image
+
+    if grid.shape[-1] == 1:
+        grid = grid[..., 0]
+    Image.fromarray(grid).save(out_path)
+    return nn_idx
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("real")
@@ -60,6 +87,12 @@ def main():
     ap.add_argument("--k", type=int, default=3)
     ap.add_argument("--batch", type=int, default=50)
     ap.add_argument("--no-pr", action="store_true")
+    ap.add_argument("--nn", type=int, default=0, metavar="K",
+                    help="also dump a nearest-training-neighbor grid "
+                         "(K neighbors per sample; memorization check, "
+                         "reference evaluation/nearest_neighbor.py)")
+    ap.add_argument("--nn-samples", type=int, default=10)
+    ap.add_argument("--nn-out", default="nearest_neighbors.png")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the JAX_PLATFORMS env alone "
                          "does not override a preset platform plugin)")
@@ -98,6 +131,11 @@ def main():
         p, r = calculate_precision_recall(fr, fg, k=args.k)
         out.update({"precision": round(float(p), 4),
                     "recall": round(float(r), 4), "k": args.k})
+    if args.nn > 0:
+        fg_flip = np.asarray(embed(gen[:, :, ::-1]))
+        nearest_neighbor_grid(real, gen, fr, fg, fg_flip, k=args.nn,
+                              n_samples=args.nn_samples, out_path=args.nn_out)
+        out["nn_grid"] = args.nn_out
     import json
 
     print(json.dumps(out))
