@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 from .conditioning import conditioning_fn, fold_frames, get_mode, unfold_frames
 from .h5 import HDF5Dataset, HDF5Maker
 from .loader import DataLoader, prefetch_to_device
@@ -126,10 +128,57 @@ def get_dataset(data_path, config, video_frames_pred=0, start_at=0, seed=0):
             image_size=config.data.image_size, train=False, random_time=True,
             random_horizontal_flip=False, total_videos=256, seed=seed + 1,
         )
+    elif name == "CIFAR10":
+        from .image_datasets import CIFAR10Dataset
+
+        dataset = CIFAR10Dataset(data_path, train=True,
+                                 random_flip=config.data.random_flip, seed=seed)
+        test_dataset = CIFAR10Dataset(data_path, train=False, seed=seed + 1)
+    elif name == "CELEBA":
+        from .image_datasets import CelebADataset
+
+        dataset = CelebADataset(data_path, split="train",
+                                image_size=config.data.image_size,
+                                random_flip=config.data.random_flip, seed=seed)
+        test_dataset = CelebADataset(data_path, split="test",
+                                     image_size=config.data.image_size,
+                                     seed=seed + 1)
+    elif name == "FFHQ":
+        from .image_datasets import FFHQTFRecordsDataset
+
+        full = FFHQTFRecordsDataset(data_path,
+                                    resolution=config.data.image_size,
+                                    random_flip=config.data.random_flip,
+                                    seed=seed)
+        # reference's deterministic 90/10 split (seed 2019 shuffle,
+        # datasets/__init__.py:133-141)
+        idx = np.arange(len(full))
+        np.random.default_rng(2019).shuffle(idx)
+        cut = int(len(full) * 0.9)
+        dataset = Subset(full, [int(i) for i in idx[:cut]])
+        test_dataset = Subset(full, [int(i) for i in idx[cut:]])
+    elif name == "IMAGENET":
+        from .image_datasets import ImageFolderDataset
+
+        classes = getattr(config.data, "classes", None)
+        dataset = ImageFolderDataset(
+            os.path.join(data_path, "train"),
+            image_size=config.data.image_size,
+            random_flip=config.data.random_flip, seed=seed, classes=classes)
+        test_dataset = ImageFolderDataset(
+            os.path.join(data_path, "val"),
+            image_size=config.data.image_size, seed=seed + 1, classes=classes)
+    elif name == "LSUN":
+        raise NotImplementedError(
+            "LSUN needs lmdb (not available in this environment); the other "
+            "legacy image paths (CIFAR10/CelebA/FFHQ/ImageNet) are live in "
+            "mcvd_tpu/data/image_datasets.py."
+        )
     else:
         raise NotImplementedError(
-            f"{name} is a legacy ncsnv2 image path not carried over yet; "
-            "the video-diffusion pipeline uses the video datasets."
+            f"unknown dataset {name}; video: "
+            "StochasticMovingMNIST/MovingMNIST/KTH/BAIR/Cityscapes/UCF101, "
+            "image (single-frame video pipeline): CIFAR10/CelebA/FFHQ/ImageNet"
         )
 
     # clamp to the actual split size: a too-large subset would otherwise

@@ -164,6 +164,31 @@ CONFIGS = {
         "model": {"ngf": 192},
         "parallel": {"tensor": 2},
     }),
+    # Legacy image experiments as T=1 unconditional video diffusion. The
+    # reference's image configs (configs/cifar10.yml etc.) point at the dead
+    # ncsnv2 'arch: ncsn' its own video get_model cannot build
+    # (ncsn_runner.py:186-195); here they run through the live unetmore
+    # pipeline over mcvd_tpu/data/image_datasets.py.
+    "cifar10": {
+        "training": {"batch_size": 128},
+        "sampling": {"subsample": 100, "num_frames_pred": 1, "fvd": False,
+                     "ssim": False, "fid": True},
+        "data": {"dataset": "CIFAR10", "image_size": 32, "channels": 3,
+                 "rescaled": False, "num_frames": 1, "num_frames_cond": 0,
+                 "num_digits": None, "step_length": None},
+        "model": {"ngf": 128, "ch_mult": [1, 2, 2, 2], "n_head_channels": 64,
+                  "conditional": False},
+    },
+    "celeba": {
+        "training": {"batch_size": 128},
+        "sampling": {"subsample": 100, "num_frames_pred": 1, "fvd": False,
+                     "ssim": False, "fid": True},
+        "data": {"dataset": "CELEBA", "image_size": 64, "channels": 3,
+                 "rescaled": False, "num_frames": 1, "num_frames_cond": 0,
+                 "num_digits": None, "step_length": None},
+        "model": {"ngf": 128, "ch_mult": [1, 2, 2, 2], "n_head_channels": 64,
+                  "conditional": False},
+    },
 }
 
 
