@@ -28,7 +28,7 @@ def plot_graphs(meters: Dict, log_path: str) -> None:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    fig, axes = plt.subplots(1, 4, figsize=(19, 4))
     _plot_series(axes[0], meters["losses_train"], "train")
     _plot_series(axes[0], meters["losses_test"], "test")
     axes[0].set_title("DSM loss")
@@ -38,6 +38,10 @@ def plot_graphs(meters: Dict, log_path: str) -> None:
     axes[1].set_title("grad norm")
     _plot_series(axes[2], meters["lr_meter"], "lr")
     axes[2].set_title("lr")
+    tm = meters.get("time_train")
+    if tm is not None:
+        _plot_series(axes[3], tm, "ms/step")
+    axes[3].set_title("ms/step")
     fig.tight_layout()
     fig.savefig(os.path.join(log_path, "curves.png"), dpi=100)
     plt.close(fig)

@@ -300,6 +300,12 @@ class Runner:
                     config.optim.lr * min(step / warm, 1.0), step
                 )
                 elapsed = time.time() - t_start
+                # per-step time + epoch meters (reference:
+                # ncsn_runner.py:388,402-405 time bookkeeping)
+                meters["time_train"].update(
+                    elapsed / max(step - seg_start, 1) * 1e3, step)
+                meters["epochs"].update(
+                    step * bs / max(len(train_ds), 1), step)
                 try:
                     import psutil
 
