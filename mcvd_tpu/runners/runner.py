@@ -197,7 +197,6 @@ class Runner:
             step_fn = make_train_step(self.model, self.sched, config,
                                       mesh=self.mesh, donate=donate)
         eval_fn = make_eval_loss_step(self.model, self.sched, config, mesh=self.mesh)
-        sharding = data_sharding(self.mesh)
         # multi-process: local batches must be assembled into global arrays
         # with the jit's exact in_shardings (single-process keeps the numpy
         # fast path — jit's implicit transfer is async, see below)
