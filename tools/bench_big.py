@@ -217,7 +217,8 @@ def main():
             f"(compile {e['compile_s']:.0f}s)")
         if not args.no_shootout:
             for kinds, tag in ((("groupnorm",), "pallas GN"),
-                               (("attention",), "pallas attn")):
+                               (("attention",), "pallas attn"),
+                               (("winograd",), "winograd")):
                 try:
                     e2 = time_eval(config, args.eval_batch, pallas=kinds,
                                    reps=args.reps)
