@@ -2,7 +2,8 @@
 
 Video datasets return (T, H, W, C) float32 clips in [0,1]. The legacy
 image-dataset paths of the reference (CIFAR10/CelebA/LSUN/FFHQ/ImageNet) are
-vestigial ncsnv2 machinery; they raise with a pointer until needed.
+served as single-frame videos through the same pipeline
+(``image_datasets.py``; LSUN via the pure-python LMDB reader).
 """
 
 from __future__ import annotations
@@ -169,11 +170,15 @@ def get_dataset(data_path, config, video_frames_pred=0, start_at=0, seed=0):
             os.path.join(data_path, "val"),
             image_size=config.data.image_size, seed=seed + 1, classes=classes)
     elif name == "LSUN":
-        raise NotImplementedError(
-            "LSUN needs lmdb (not available in this environment); the other "
-            "legacy image paths (CIFAR10/CelebA/FFHQ/ImageNet) are live in "
-            "mcvd_tpu/data/image_datasets.py."
-        )
+        from .image_datasets import LSUNDataset
+
+        category = config.data.category
+        dataset = LSUNDataset(data_path, category, split="train",
+                              image_size=config.data.image_size,
+                              random_flip=config.data.random_flip, seed=seed)
+        test_dataset = LSUNDataset(data_path, category, split="val",
+                                   image_size=config.data.image_size,
+                                   seed=seed + 1)
     else:
         raise NotImplementedError(
             f"unknown dataset {name}; video: "

@@ -7,8 +7,10 @@ single-frame "video" in [0,1] plus a target, so the image experiments run
 through the SAME video pipeline (num_frames=1, num_frames_cond=0 ==
 unconditional image diffusion) instead of a parallel image-only stack.
 
-LSUN is NOT carried: it requires lmdb (absent in this environment) and is
-covered by the same legacy-image justification in COVERAGE.md.
+LSUN is carried via the in-tree pure-python LMDB reader
+(``mcvd_tpu/data/lmdb_io.py``) — the ``lmdb`` C extension the reference's
+torchvision path needs is absent here, so we parse the on-disk format
+directly.
 """
 
 from __future__ import annotations
@@ -157,6 +159,60 @@ class FFHQTFRecordsDataset(_ImageBase):
 
     def __getitem__(self, index):
         return self._maybe_flip(_to_video(self.images[index]), index), 0
+
+
+class LSUNDataset(_ImageBase):
+    """LSUN scene/object categories out of the standard LMDB environments
+    (``<root>/<category>_<split>_lmdb/data.mdb``, values = encoded images),
+    read with the in-tree pure-python LMDB parser. Reference: torchvision
+    ``datasets.LSUN`` at datasets/__init__.py:87-114 with transform
+    Resize(image_size) -> CenterCrop(image_size) [-> RandomHorizontalFlip].
+
+    Like torchvision, the key list is enumerated once (a keys-only B+tree
+    walk — values stay untouched) and cached next to the environment as
+    ``_keys_cache.pkl`` so reopening a multi-million-entry category is fast.
+    """
+
+    def __init__(self, data_path: str, category: str, split: str = "train",
+                 image_size: int = 64, random_flip: bool = False,
+                 seed: int = 0):
+        super().__init__(seed, random_flip)
+        from .lmdb_io import LMDBReader
+
+        env_dir = os.path.join(data_path, f"{category}_{split}_lmdb")
+        if not os.path.isdir(env_dir) and os.path.isdir(data_path) \
+                and data_path.endswith("_lmdb"):
+            env_dir = data_path
+        self._db = LMDBReader(env_dir)
+        self.image_size = image_size
+        cache = os.path.join(env_dir, "_keys_cache.pkl")
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                self.keys = pickle.load(f)
+        else:
+            self.keys = list(self._db.keys())
+            try:
+                with open(cache, "wb") as f:
+                    pickle.dump(self.keys, f)
+            except OSError:
+                pass  # read-only media: enumerate again next time
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index):
+        from io import BytesIO
+
+        from PIL import Image
+
+        img = Image.open(BytesIO(self._db.get(self.keys[index]))).convert("RGB")
+        w, h = img.size
+        scale = self.image_size / min(w, h)
+        img = img.resize((max(self.image_size, round(w * scale)),
+                          max(self.image_size, round(h * scale))),
+                         Image.BILINEAR)
+        arr = _center_crop(np.asarray(img, np.uint8), self.image_size)
+        return self._maybe_flip(_to_video(arr), index), 0
 
 
 class ImageFolderDataset(_ImageBase):

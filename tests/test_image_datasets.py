@@ -9,7 +9,6 @@ import pickle
 import struct
 
 import numpy as np
-import pytest
 
 from mcvd_tpu.config import dict2namespace
 from mcvd_tpu.data import get_dataset
@@ -129,10 +128,72 @@ def test_registry_cifar10_single_frame_pipeline(tmp_path):
     assert video.shape == (1, 32, 32, 3)
 
 
-def test_lsun_raises_with_pointer(tmp_path):
+def test_lmdb_roundtrip(tmp_path):
+    """Pure-python LMDB writer -> reader across node kinds: inline values,
+    BIGDATA overflow values, multi-level branch pages, empty env."""
+    from mcvd_tpu.data.lmdb_io import LMDBReader, write_lmdb
+
+    rng = np.random.RandomState(0)
+    items = [(f"k{i:06d}".encode(),
+              rng.randint(0, 255, rng.choice([8, 300, 6000]), np.uint8)
+              .tobytes())
+             for i in range(800)]
+    items += [(b"empty-value", b""), (b"k" * 180, b"long-key")]
+    write_lmdb(str(tmp_path / "env"), items)
+    with LMDBReader(str(tmp_path / "env")) as r:
+        assert len(r) == len(items)
+        assert dict(r.items()) == dict(items)
+        assert list(r.keys()) == sorted(k for k, _ in items)
+        assert r.get(b"k000421") == dict(items)[b"k000421"]
+        assert r.get(b"absent") is None
+    write_lmdb(str(tmp_path / "empty"), [])
+    with LMDBReader(str(tmp_path / "empty")) as r:
+        assert len(r) == 0 and list(r.items()) == []
+
+
+def write_lsun(root, category="church_outdoor", split="train", n=6):
+    from io import BytesIO
+
+    from PIL import Image
+
+    from mcvd_tpu.data.lmdb_io import write_lmdb
+
+    rng = np.random.RandomState(0)
+    items = []
+    for i in range(n):
+        buf = BytesIO()
+        Image.fromarray(rng.randint(0, 255, (96, 128, 3), np.uint8)).save(
+            buf, format="WEBP" if i % 2 else "PNG")
+        items.append((f"{i:08x}".encode(), buf.getvalue()))
+    write_lmdb(os.path.join(root, f"{category}_{split}_lmdb"), items)
+
+
+def test_lsun(tmp_path):
+    from mcvd_tpu.data.image_datasets import LSUNDataset
+
+    write_lsun(str(tmp_path), n=6)
+    ds = LSUNDataset(str(tmp_path), "church_outdoor", split="train",
+                     image_size=32)
+    assert len(ds) == 6
+    video, _ = ds[1]
+    assert video.shape == (1, 32, 32, 3) and video.dtype == np.float32
+    # key cache speeds up reopen and yields the identical dataset
+    assert os.path.exists(tmp_path / "church_outdoor_train_lmdb"
+                          / "_keys_cache.pkl")
+    ds2 = LSUNDataset(str(tmp_path), "church_outdoor", split="train",
+                      image_size=32)
+    np.testing.assert_array_equal(ds2[1][0], video)
+
+
+def test_registry_lsun(tmp_path):
+    write_lsun(str(tmp_path), split="train", n=5)
+    write_lsun(str(tmp_path), split="val", n=3)
     config = dict2namespace({"data": {
-        "dataset": "LSUN", "image_size": 32, "channels": 3, "num_frames": 1,
-        "num_frames_cond": 0, "num_frames_future": 0, "random_flip": False,
+        "dataset": "LSUN", "category": "church_outdoor", "image_size": 32,
+        "channels": 3, "num_frames": 1, "num_frames_cond": 0,
+        "num_frames_future": 0, "random_flip": True,
     }})
-    with pytest.raises(NotImplementedError, match="lmdb"):
-        get_dataset(str(tmp_path), config, video_frames_pred=1)
+    train_ds, test_ds = get_dataset(str(tmp_path), config,
+                                    video_frames_pred=1)
+    assert len(train_ds) == 5 and len(test_ds) == 3
+    assert train_ds[2][0].shape == (1, 32, 32, 3)
