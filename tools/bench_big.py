@@ -84,7 +84,10 @@ def time_eval(config, B, pallas=(), dtype=jnp.bfloat16, n_inner=30, reps=3):
             lambda a: a.astype(dtype)
             if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
 
-    def run_body(x):
+    # params MUST be a jit argument, not a closure: closed-over arrays embed
+    # as HLO constants, and at ngf=192 the serialized program then exceeds
+    # the axon remote-compile tunnel's request-body limit (HTTP 413).
+    def run_body(params, x):
         def f(c, _):
             return model.apply(params, c, y, cond).astype(c.dtype), ()
 
@@ -94,16 +97,16 @@ def time_eval(config, B, pallas=(), dtype=jnp.bfloat16, n_inner=30, reps=3):
     run = jax.jit(run_body)
     # FLOPs of ONE eval from a non-scanned lowering (HLO cost analysis does
     # not reliably scale while-loop bodies by trip count)
-    one = jax.jit(lambda xx: model.apply(params, xx, y, cond))
-    flops = _flops(one.lower(x))
+    one = jax.jit(lambda pp, xx: model.apply(pp, xx, y, cond))
+    flops = _flops(one.lower(params, x))
 
     t0 = time.time()
-    out = run(x)
+    out = run(params, x)
     _ = float(jnp.sum(out))
     compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(reps):
-        out = run(out)
+        out = run(params, out)
     _ = float(jnp.sum(out))
     dt = (time.time() - t0) / (reps * n_inner)
     mfu = flops / dt / V5E_BF16_PEAK
