@@ -17,7 +17,15 @@ def get_model(config):
         from .unet import UNetLegacy
 
         return UNetLegacy(config)
-    raise ValueError(f"arch not valid: {arch} (expected unet/unetmore/unetmore3d/unetmorepseudo3d)")
+    elif arch in ("ncsn", "ncsnv2"):
+        # dead upstream (the reference's else-branch never raises and
+        # returns None for its own configs/cifar10.yml arch) — live here
+        from .ncsnv2 import get_ncsn_model
+
+        return get_ncsn_model(config)
+    raise ValueError(
+        f"arch not valid: {arch} "
+        "(expected unet/unetmore/unetmore3d/unetmorepseudo3d/ncsn/ncsnv2)")
 
 
 __all__ = ["NCSNpp", "UNetMoreDDPM", "EMA", "get_model", "blocks", "layers", "resample"]

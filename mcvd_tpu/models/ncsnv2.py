@@ -1,0 +1,289 @@
+"""Legacy NCSN image score networks on the RefineNet block library.
+
+The reference dispatches ``arch: ncsn`` (runners/ncsn_runner.py:180-195) but
+its else-branch builds an Exception WITHOUT raising and returns None — so
+configs/cifar10.yml:68 (``arch: ncsn``) is dead upstream, and no NCSNv1/v2
+model file ships in /root/reference at all (only the block library,
+models/better/layers.py:122-500). Rebuilt here from the published NCSN /
+NCSNv2 architectures over the parity-tested blocks in ``legacy_blocks.py``,
+so the reference's image experiment configs actually run in this framework:
+
+- ``CondRefineNetDilated`` (NCSNv1): class-conditional instance norm
+  carrying the noise level, no output rescale.
+- ``NCSNv2`` (+ Deeper / Deepest, dispatched by image size like the
+  published code: <96 base, 96-255 deeper, >=256 deepest): unconditional
+  norms, output divided by sigmas[y] for the SMLD parameterization.
+
+Both expose the same call signature as UNetMoreDDPM
+(``(x, y, cond=None, cond_mask=None, *, sched=None, rng=None, train=False)``)
+so every runner mode, sampler, and the train step work unchanged; ``cond``
+frames, if given, are concatenated on channels like the video nets.
+NHWC throughout; the dilated stages use the repaired padding=dilation convs
+(the reference's dilation>1 blocks are shape-broken, see legacy_blocks.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.schedules import get_sigmas
+from . import legacy_blocks as lb
+from .layers import Conv2d
+from .normalization import (
+    ConditionalInstanceNorm2dPlus,
+    InstanceNorm2dPlus,
+)
+
+
+def _elu(x):
+    return jax.nn.elu(x)
+
+
+def _input_scale(config, x):
+    """2x-1 unless the data pipeline already centered it (published NCSN
+    convention: applied when neither logit_transform nor rescaled)."""
+    logit = bool(getattr(config.data, "logit_transform", False))
+    rescaled = bool(getattr(config.data, "rescaled", False))
+    return x if (logit or rescaled) else 2.0 * x - 1.0
+
+
+def _maybe_concat_cond(x, cond):
+    return x if cond is None else jnp.concatenate([x, cond], axis=-1)
+
+
+class NCSNv2(nn.Module):
+    """Unconditional-norm NCSNv2 score net (published ncsnv2 'deep' config:
+    4 dilated RefineNet stages). Output = net(x) / sigmas[y] when
+    model.version is SMLD (the noise-conditioning-free trick)."""
+
+    config: Any
+
+    @nn.compact
+    def __call__(self, x, y, cond=None, cond_mask=None, *, sched=None,
+                 rng=None, train: bool = False):
+        cfg = self.config
+        ngf = cfg.model.ngf
+        act = _elu
+        adjust = int(getattr(cfg.data, "image_size", 32)) == 28
+
+        h = _maybe_concat_cond(_input_scale(cfg, x), cond)
+        out_ch = x.shape[-1]
+
+        h = Conv2d(ngf, kernel=3, name="begin_conv")(h)
+        l1 = lb.ResidualBlock(ngf, ngf, act=act, name="res1_0")(h)
+        l1 = lb.ResidualBlock(ngf, ngf, act=act, name="res1_1")(l1)
+        l2 = lb.ResidualBlock(ngf, 2 * ngf, resample="down", act=act,
+                              name="res2_0")(l1)
+        l2 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, name="res2_1")(l2)
+        l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, resample="down", act=act,
+                              dilation=2, name="res3_0")(l2)
+        l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, dilation=2,
+                              name="res3_1")(l3)
+        l4 = lb.ResidualBlock(2 * ngf, 2 * ngf, resample="down", act=act,
+                              dilation=4, adjust_padding=adjust,
+                              name="res4_0")(l3)
+        l4 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, dilation=4,
+                              name="res4_1")(l4)
+
+        r1 = lb.RefineBlock(2 * ngf, 1, act=act, start=True,
+                            name="refine1")([l4], l4.shape[1:3])
+        r2 = lb.RefineBlock(2 * ngf, 2, act=act,
+                            name="refine2")([l3, r1], l3.shape[1:3])
+        r3 = lb.RefineBlock(ngf, 2, act=act,
+                            name="refine3")([l2, r2], l2.shape[1:3])
+        r4 = lb.RefineBlock(ngf, 2, act=act, end=True,
+                            name="refine4")([l1, r3], l1.shape[1:3])
+
+        out = InstanceNorm2dPlus(ngf, name="normalizer")(r4)
+        out = act(out)
+        out = Conv2d(out_ch, kernel=3, name="end_conv")(out)
+        return _smld_rescale(cfg, out, y)
+
+
+class NCSNv2Deeper(nn.Module):
+    """5-stage NCSNv2 for 96-128px images (published 'deeper' config)."""
+
+    config: Any
+
+    @nn.compact
+    def __call__(self, x, y, cond=None, cond_mask=None, *, sched=None,
+                 rng=None, train: bool = False):
+        cfg = self.config
+        ngf = cfg.model.ngf
+        act = _elu
+
+        h = _maybe_concat_cond(_input_scale(cfg, x), cond)
+        out_ch = x.shape[-1]
+
+        h = Conv2d(ngf, kernel=3, name="begin_conv")(h)
+        l1 = lb.ResidualBlock(ngf, ngf, act=act, name="res1_0")(h)
+        l1 = lb.ResidualBlock(ngf, ngf, act=act, name="res1_1")(l1)
+        l2 = lb.ResidualBlock(ngf, 2 * ngf, resample="down", act=act,
+                              name="res2_0")(l1)
+        l2 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, name="res2_1")(l2)
+        l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, resample="down", act=act,
+                              name="res3_0")(l2)
+        l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, name="res3_1")(l3)
+        l4 = lb.ResidualBlock(2 * ngf, 4 * ngf, resample="down", act=act,
+                              dilation=2, name="res4_0")(l3)
+        l4 = lb.ResidualBlock(4 * ngf, 4 * ngf, act=act, dilation=2,
+                              name="res4_1")(l4)
+        l5 = lb.ResidualBlock(4 * ngf, 4 * ngf, resample="down", act=act,
+                              dilation=4, name="res5_0")(l4)
+        l5 = lb.ResidualBlock(4 * ngf, 4 * ngf, act=act, dilation=4,
+                              name="res5_1")(l5)
+
+        r1 = lb.RefineBlock(4 * ngf, 1, act=act, start=True,
+                            name="refine1")([l5], l5.shape[1:3])
+        r2 = lb.RefineBlock(2 * ngf, 2, act=act,
+                            name="refine2")([l4, r1], l4.shape[1:3])
+        r3 = lb.RefineBlock(2 * ngf, 2, act=act,
+                            name="refine3")([l3, r2], l3.shape[1:3])
+        r4 = lb.RefineBlock(ngf, 2, act=act,
+                            name="refine4")([l2, r3], l2.shape[1:3])
+        r5 = lb.RefineBlock(ngf, 2, act=act, end=True,
+                            name="refine5")([l1, r4], l1.shape[1:3])
+
+        out = InstanceNorm2dPlus(ngf, name="normalizer")(r5)
+        out = act(out)
+        out = Conv2d(out_ch, kernel=3, name="end_conv")(out)
+        return _smld_rescale(cfg, out, y)
+
+
+class NCSNv2Deepest(nn.Module):
+    """6-stage NCSNv2 for >=256px images (published 'deepest' config):
+    Deeper plus an extra undilated 2ngf stage (res31/refine31)."""
+
+    config: Any
+
+    @nn.compact
+    def __call__(self, x, y, cond=None, cond_mask=None, *, sched=None,
+                 rng=None, train: bool = False):
+        cfg = self.config
+        ngf = cfg.model.ngf
+        act = _elu
+
+        h = _maybe_concat_cond(_input_scale(cfg, x), cond)
+        out_ch = x.shape[-1]
+
+        h = Conv2d(ngf, kernel=3, name="begin_conv")(h)
+        l1 = lb.ResidualBlock(ngf, ngf, act=act, name="res1_0")(h)
+        l1 = lb.ResidualBlock(ngf, ngf, act=act, name="res1_1")(l1)
+        l2 = lb.ResidualBlock(ngf, 2 * ngf, resample="down", act=act,
+                              name="res2_0")(l1)
+        l2 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, name="res2_1")(l2)
+        l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, resample="down", act=act,
+                              name="res3_0")(l2)
+        l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, name="res3_1")(l3)
+        l31 = lb.ResidualBlock(2 * ngf, 2 * ngf, resample="down", act=act,
+                               name="res31_0")(l3)
+        l31 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, name="res31_1")(l31)
+        l4 = lb.ResidualBlock(2 * ngf, 4 * ngf, resample="down", act=act,
+                              dilation=2, name="res4_0")(l31)
+        l4 = lb.ResidualBlock(4 * ngf, 4 * ngf, act=act, dilation=2,
+                              name="res4_1")(l4)
+        l5 = lb.ResidualBlock(4 * ngf, 4 * ngf, resample="down", act=act,
+                              dilation=4, name="res5_0")(l4)
+        l5 = lb.ResidualBlock(4 * ngf, 4 * ngf, act=act, dilation=4,
+                              name="res5_1")(l5)
+
+        r1 = lb.RefineBlock(4 * ngf, 1, act=act, start=True,
+                            name="refine1")([l5], l5.shape[1:3])
+        r2 = lb.RefineBlock(2 * ngf, 2, act=act,
+                            name="refine2")([l4, r1], l4.shape[1:3])
+        r31 = lb.RefineBlock(2 * ngf, 2, act=act,
+                             name="refine31")([l31, r2], l31.shape[1:3])
+        r3 = lb.RefineBlock(2 * ngf, 2, act=act,
+                            name="refine3")([l3, r31], l3.shape[1:3])
+        r4 = lb.RefineBlock(ngf, 2, act=act,
+                            name="refine4")([l2, r3], l2.shape[1:3])
+        r5 = lb.RefineBlock(ngf, 2, act=act, end=True,
+                            name="refine5")([l1, r4], l1.shape[1:3])
+
+        out = InstanceNorm2dPlus(ngf, name="normalizer")(r5)
+        out = act(out)
+        out = Conv2d(out_ch, kernel=3, name="end_conv")(out)
+        return _smld_rescale(cfg, out, y)
+
+
+class CondRefineNetDilated(nn.Module):
+    """NCSNv1: noise level enters through class-conditional instance norm
+    (ConditionalInstanceNorm2dPlus) in every block; no output rescale."""
+
+    config: Any
+
+    @nn.compact
+    def __call__(self, x, y, cond=None, cond_mask=None, *, sched=None,
+                 rng=None, train: bool = False):
+        cfg = self.config
+        ngf = cfg.model.ngf
+        K = cfg.model.num_classes
+        act = _elu
+        norm = ConditionalInstanceNorm2dPlus
+        adjust = int(getattr(cfg.data, "image_size", 32)) == 28
+
+        h = _maybe_concat_cond(_input_scale(cfg, x), cond)
+        out_ch = x.shape[-1]
+
+        h = Conv2d(ngf, kernel=3, name="begin_conv")(h)
+        l1 = lb.ConditionalResidualBlock(ngf, ngf, K, act=act,
+                                         name="res1_0")(h, y)
+        l1 = lb.ConditionalResidualBlock(ngf, ngf, K, act=act,
+                                         name="res1_1")(l1, y)
+        l2 = lb.ConditionalResidualBlock(ngf, 2 * ngf, K, resample="down",
+                                         act=act, name="res2_0")(l1, y)
+        l2 = lb.ConditionalResidualBlock(2 * ngf, 2 * ngf, K, act=act,
+                                         name="res2_1")(l2, y)
+        l3 = lb.ConditionalResidualBlock(2 * ngf, 2 * ngf, K,
+                                         resample="down", act=act,
+                                         dilation=2, name="res3_0")(l2, y)
+        l3 = lb.ConditionalResidualBlock(2 * ngf, 2 * ngf, K, act=act,
+                                         dilation=2, name="res3_1")(l3, y)
+        l4 = lb.ConditionalResidualBlock(2 * ngf, 2 * ngf, K,
+                                         resample="down", act=act,
+                                         dilation=4, adjust_padding=adjust,
+                                         name="res4_0")(l3, y)
+        l4 = lb.ConditionalResidualBlock(2 * ngf, 2 * ngf, K, act=act,
+                                         dilation=4, name="res4_1")(l4, y)
+
+        r1 = lb.CondRefineBlock(2 * ngf, 1, K, norm, act=act, start=True,
+                                name="refine1")([l4], y, l4.shape[1:3])
+        r2 = lb.CondRefineBlock(2 * ngf, 2, K, norm, act=act,
+                                name="refine2")([l3, r1], y, l3.shape[1:3])
+        r3 = lb.CondRefineBlock(ngf, 2, K, norm, act=act,
+                                name="refine3")([l2, r2], y, l2.shape[1:3])
+        r4 = lb.CondRefineBlock(ngf, 2, K, norm, act=act, end=True,
+                                name="refine4")([l1, r3], y, l1.shape[1:3])
+
+        out = norm(ngf, K, name="normalizer")(r4, y)
+        out = act(out)
+        out = Conv2d(out_ch, kernel=3, name="end_conv")(out)
+        return out
+
+
+def _smld_rescale(config, out, y):
+    """NCSNv2 output scaling: score = net(x) / sigmas[y] under SMLD; the
+    DDPM parameterization predicts eps directly, no rescale."""
+    version = getattr(config.model, "version", "SMLD").upper()
+    if version != "SMLD":
+        return out
+    sigmas = jnp.asarray(get_sigmas(config))
+    used = sigmas[y].reshape(out.shape[0], *([1] * (out.ndim - 1)))
+    return out / used
+
+
+def get_ncsn_model(config):
+    """arch 'ncsn' → NCSNv1; arch 'ncsnv2' → size-dispatched NCSNv2."""
+    arch = getattr(config.model, "arch", "ncsnv2")
+    if arch == "ncsn":
+        return CondRefineNetDilated(config)
+    size = int(getattr(config.data, "image_size", 32))
+    if size >= 256:
+        return NCSNv2Deepest(config)
+    if size >= 96:
+        return NCSNv2Deeper(config)
+    return NCSNv2(config)

@@ -189,6 +189,22 @@ CONFIGS = {
         "model": {"ngf": 128, "ch_mult": [1, 2, 2, 2], "n_head_channels": 64,
                   "conditional": False},
     },
+    # The actual legacy arch the reference's configs/cifar10.yml:68 names but
+    # cannot build (models/ncsnv2.py here; published NCSNv2 SMLD recipe:
+    # geometric sigmas 50->0.01, 232 levels, 5-step Langevin @ 6.2e-6).
+    "cifar10_ncsnv2": {
+        "training": {"batch_size": 128},
+        "sampling": {"num_frames_pred": 1, "fvd": False, "ssim": False,
+                     "fid": True, "n_steps_each": 5, "step_lr": 0.0000062,
+                     "final_only": True, "denoise": True},
+        "data": {"dataset": "CIFAR10", "image_size": 32, "channels": 3,
+                 "rescaled": False, "num_frames": 1, "num_frames_cond": 0,
+                 "num_digits": None, "step_length": None},
+        "model": {"arch": "ncsnv2", "version": "SMLD",
+                  "sigma_dist": "geometric", "sigma_begin": 50.0,
+                  "sigma_end": 0.01, "num_classes": 232, "ngf": 128,
+                  "conditional": False, "ema": True, "ema_rate": 0.999},
+    },
 }
 
 
