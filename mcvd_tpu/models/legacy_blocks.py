@@ -394,16 +394,14 @@ class ResidualBlock(nn.Module):
 
 class ConditionalResidualBlock(nn.Module):
     """Class-conditional ncsnv1 residual block (reference layers.py:386-443).
-    Same wiring as ResidualBlock but every norm takes (x, y) and the plain
-    no-dilation shortcut is a 1x1-kernel plain conv (reference uses
-    nn.Conv2d default kernel there via ``conv_shortcut = nn.Conv2d`` with
-    kernel_size supplied = 1? no — it passes (input_dim, output_dim) only,
-    torch requires kernel_size: the reference calls conv_shortcut(input_dim,
-    output_dim, kernel_size=1) implicitly never — this branch is only taken
-    when dims differ; reference line 441: ``self.shortcut =
-    conv_shortcut(input_dim, output_dim)`` with ``conv_shortcut =
-    nn.Conv2d`` would raise in torch, i.e. dead in-reference for that
-    combination. We use a 1x1 conv for it."""
+    Same wiring as ResidualBlock but every norm takes (x, y).
+
+    Reference quirk: in the plain (resample=None, no-dilation) branch with
+    differing dims, the reference sets ``conv_shortcut = nn.Conv2d`` and
+    calls it as ``conv_shortcut(input_dim, output_dim)`` (layers.py:425,441)
+    — a TypeError in torch (kernel_size missing), i.e. that combination is
+    dead upstream. We use a 1x1 conv, matching the unconditional
+    ResidualBlock's repaired branch."""
 
     input_dim: int
     output_dim: int
