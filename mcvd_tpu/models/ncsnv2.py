@@ -12,7 +12,9 @@ so the reference's image experiment configs actually run in this framework:
   carrying the noise level, no output rescale.
 - ``NCSNv2`` (+ Deeper / Deepest, dispatched by image size like the
   published code: <96 base, 96-255 deeper, >=256 deepest): unconditional
-  norms, output divided by sigmas[y] for the SMLD parameterization.
+  norms; the raw output is the eps prediction (the published score =
+  raw/sigma conversion lives in this framework's loss/sampler convention —
+  see ``_smld_rescale``).
 
 Both expose the same call signature as UNetMoreDDPM
 (``(x, y, cond=None, cond_mask=None, *, sched=None, rng=None, train=False)``)
@@ -30,7 +32,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..diffusion.schedules import get_sigmas
 from . import legacy_blocks as lb
 from .layers import Conv2d
 from .normalization import (
@@ -57,8 +58,8 @@ def _maybe_concat_cond(x, cond):
 
 class NCSNv2(nn.Module):
     """Unconditional-norm NCSNv2 score net (published ncsnv2 'deep' config:
-    4 dilated RefineNet stages). Output = net(x) / sigmas[y] when
-    model.version is SMLD (the noise-conditioning-free trick)."""
+    4 dilated RefineNet stages; noise-conditioning-free — y enters only
+    through the sampler's sigma ladder, never the net)."""
 
     config: Any
 
@@ -266,14 +267,20 @@ class CondRefineNetDilated(nn.Module):
 
 
 def _smld_rescale(config, out, y):
-    """NCSNv2 output scaling: score = net(x) / sigmas[y] under SMLD; the
-    DDPM parameterization predicts eps directly, no rescale."""
-    version = getattr(config.model, "version", "SMLD").upper()
-    if version != "SMLD":
-        return out
-    sigmas = jnp.asarray(get_sigmas(config))
-    used = sigmas[y].reshape(out.shape[0], *([1] * (out.ndim - 1)))
-    return out / used
+    """Identity: the net's raw output IS the eps prediction.
+
+    The published NCSNv2 pairs an internal score = raw/sigma output with a
+    sigma^2-weighted DSM loss: 0.5*sigma^2*||s + z/sigma||^2 =
+    0.5*||raw + z||^2 — i.e. in raw-space the objective is an UNWEIGHTED
+    unit-scale regression onto -z. This framework's SMLD convention
+    (diffusion/loss.py, oracle-parity with the reference) is exactly that
+    unweighted z-space regression, and its Langevin sampler applies the
+    score = -z/sigma conversion externally (samplers.py:364). So the
+    faithful adapter here is raw output, no internal division: dividing by
+    sigmas[y] under the unweighted loss would amplify the smallest-sigma
+    levels by 1/sigma^2 (~1e7 over a 50→0.01 ladder) and drive raw→0
+    (empirically: test DSM pins at the eps=0 floor of 0.5*D)."""
+    return out
 
 
 def get_ncsn_model(config):

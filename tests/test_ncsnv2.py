@@ -14,7 +14,6 @@ import pytest
 from mcvd_tpu.config import dict2namespace
 from mcvd_tpu.diffusion import make_schedule
 from mcvd_tpu.diffusion.loss import dsm_loss
-from mcvd_tpu.diffusion.schedules import get_sigmas
 from mcvd_tpu.models import get_model
 from mcvd_tpu.models import ncsnv2 as m
 
@@ -78,20 +77,28 @@ def test_size_dispatch():
     assert isinstance(get_model(make_config(image_size=256)), m.NCSNv2Deepest)
 
 
-def test_smld_rescale_divides_by_sigma():
-    """Same params: SMLD output == DDPM-parameterized output / sigmas[y]."""
+def test_output_is_raw_eps_and_sigma_free():
+    """The eps convention: the net's raw output is the prediction — NO
+    internal 1/sigma division (the published sigma^2-weighted score loss is
+    equivalent to this framework's unweighted z-space loss only in raw
+    space; an internal division would 1/sigma^2-amplify the smallest
+    levels and collapse training to eps=0 — see _smld_rescale), and y is
+    never consumed (noise-conditioning-free)."""
     cfg_smld = make_config(version="SMLD")
     cfg_ddpm = make_config(version="DDPM")
     model_s, model_d = m.NCSNv2(cfg_smld), m.NCSNv2(cfg_ddpm)
     x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3), jnp.float32)
-    y = jnp.array([0, 7], dtype=jnp.int32)
-    params = model_s.init(jax.random.PRNGKey(0), x, y)
-    out_s = model_s.apply(params, x, y)
-    out_d = model_d.apply(params, x, y)
-    sig = np.asarray(get_sigmas(cfg_smld))[np.asarray(y)]
-    np.testing.assert_allclose(
-        np.asarray(out_s), np.asarray(out_d) / sig[:, None, None, None],
-        rtol=1e-5, atol=1e-6)
+    y1 = jnp.array([0, 7], dtype=jnp.int32)
+    y2 = jnp.array([9, 3], dtype=jnp.int32)
+    params = model_s.init(jax.random.PRNGKey(0), x, y1)
+    out_s = np.asarray(model_s.apply(params, x, y1))
+    np.testing.assert_allclose(out_s, np.asarray(model_d.apply(params, x, y1)),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(out_s, np.asarray(model_s.apply(params, x, y2)),
+                               rtol=1e-6, atol=1e-7)
+    # unit-scale output at init (not sigma-scale): the regression target z
+    # is unit variance at every level
+    assert float(np.abs(out_s).max()) < 100.0
 
 
 def test_ncsnv2_dsm_grad_flow():
