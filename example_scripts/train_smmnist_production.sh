@@ -3,6 +3,9 @@
 # wire, and segmented execution (training.max_steps_per_run) to sidestep the
 # TPU client's native H2D staging leak — each segment checkpoints and the
 # loop resumes (crash-safe by construction; see BENCH_NOTES.md).
+# training.stall_timeout arms the in-runner watchdog: a hung backend
+# dispatch (observed r3) hard-exits the process and this loop resumes the
+# segment from the rolling checkpoint.
 #
 # Measured r2: 50k steps in ~75min wall (ngf=64, batch 32, v5e) reaching
 # video-prediction SSIM 0.814 (cond 5 -> pred 10, best-of-5).
@@ -14,6 +17,7 @@ SEG=${4:-25000}
 
 MODS="training.compute_dtype=bfloat16 training.n_iters=$N_ITERS \
  training.max_steps_per_run=$SEG training.batch_size=32 \
+ training.stall_timeout=1200 \
  sampling.subsample=100 sampling.num_frames_pred=10"
 
 RESUME=""

@@ -248,6 +248,17 @@ class Runner:
         max_run = int(getattr(config.training, "max_steps_per_run", 0) or 0)
         seg_start = step
 
+        # training.stall_timeout > 0 arms a watchdog that hard-exits the
+        # process when no device barrier completes within the window (a hung
+        # backend dispatch wedges this loop beyond in-process recovery —
+        # utils.start_stall_watchdog). Size it above worst-case compile.
+        stall_timeout = float(getattr(config.training, "stall_timeout", 0) or 0)
+        heartbeat = {"t": time.monotonic(), "step": step, "suspended": False}
+        if stall_timeout > 0:
+            from ..utils import start_stall_watchdog
+
+            start_stall_watchdog(heartbeat, stall_timeout, logger)
+
         while step < n_iters:
             if max_run and step - seg_start >= max_run:
                 logger.info(
@@ -280,6 +291,8 @@ class Runner:
                 # unboundedly ahead (each in-flight step pins its input);
                 # np.asarray is the reliable barrier on axon
                 _ = np.asarray(metrics["grad_norm"])
+                heartbeat["t"] = time.monotonic()
+                heartbeat["step"] = step
             if profile_at and prev_step < profile_at + 3 <= step:
                 try:
                     jax.profiler.stop_trace()
@@ -324,6 +337,7 @@ class Runner:
                 Xv = put_global_batch(self.mesh, np.asarray(Xv, np.float32),
                                       batch_sh)
                 val = float(eval_fn(state.ema_params, Xv, k))
+                heartbeat["t"] = time.monotonic()
                 meters["losses_test"].update(val, step)
                 logger.info("step %d | test loss %.2f", step, val)
             if crossed(ckpt_freq, prev_step, step):
@@ -344,6 +358,9 @@ class Runner:
                 # in-training eval is process-0-local (collective-free jit)
                 if getattr(config.training, "snapshot_sampling", True) and is_main:
                     try:
+                        # in-training eval legitimately blocks for a long
+                        # time — park the stall watchdog for its duration
+                        heartbeat["suspended"] = True
                         vm = self._video_gen_inner(state, eval_test_ds, train=True, ckpt=step)
                         logger.info("snapshot metrics @%d: %s", step, vm)
                         for task in ("", "2", "3"):
@@ -358,6 +375,9 @@ class Runner:
                             yaml.safe_dump(best, f)
                     except Exception as e:  # eval must not kill training
                         logger.exception("in-training video_gen failed: %s", e)
+                    finally:
+                        heartbeat["t"] = time.monotonic()
+                        heartbeat["suspended"] = False
         checkpoints.save_checkpoint(self._ckpt_dir(), state)
         if is_main:
             meters_mod.save_meters(meters, args.log_path)

@@ -88,3 +88,59 @@ def force_result(x) -> float:
     import jax.numpy as jnp
 
     return float(jnp.sum(x))
+
+
+def start_stall_watchdog(heartbeat: dict, timeout_s: float, logger=None,
+                         exit_code: int = 112, interval_s: float | None = None):
+    """Hard-exit the process when the training loop stops making progress.
+
+    TPU-production hardening with no reference analog: the axon backend can
+    hang a dispatch indefinitely mid-run (observed r3: the step loop blocked
+    >14min inside a device sync, after which the client reported the backend
+    UNAVAILABLE). The loop is then wedged inside a blocking native call — no
+    in-process recovery is possible — so a daemon thread watches a heartbeat
+    the loop bumps after every real device barrier, and `os._exit(exit_code)`s
+    once it goes stale for `timeout_s`. The segment-restart loop
+    (example_scripts/train_*_production.sh) relaunches with
+    --resume_training from the rolling checkpoint (crash-safe by
+    construction — the same mechanism that handles the H2D staging leak).
+
+    `heartbeat` is a mutable dict: {"t": time.monotonic(), "step": int,
+    "suspended": bool}. Set "suspended" around legitimately-long blocking
+    sections (in-training video_gen can run for hours); the timer restarts
+    when resumed. Size `timeout_s` above the worst observed compile
+    (20-500s on axon, CLAUDE.md) since the first barrier lands after the
+    initial compile.
+    """
+    import os as _os
+    import threading
+    import time as _time
+
+    interval = interval_s if interval_s is not None else min(
+        30.0, max(1.0, timeout_s / 6))
+
+    def _watch():
+        while True:
+            _time.sleep(interval)
+            if heartbeat.get("suspended"):
+                heartbeat["t"] = _time.monotonic()
+                continue
+            dt = _time.monotonic() - heartbeat["t"]
+            if dt > timeout_s:
+                if logger is not None:
+                    logger.critical(
+                        "stall watchdog: no training progress for %.0fs "
+                        "(last step %s) — exiting %d so the restart loop "
+                        "can resume from the checkpoint",
+                        dt, heartbeat.get("step"), exit_code)
+                    for h in getattr(logger, "handlers", []):
+                        try:
+                            h.flush()
+                        except Exception:
+                            pass
+                _os._exit(exit_code)
+
+    t = threading.Thread(target=_watch, daemon=True,
+                         name="mcvd-stall-watchdog")
+    t.start()
+    return t
