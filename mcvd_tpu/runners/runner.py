@@ -720,11 +720,22 @@ class Runner:
         args, config = self.args, self.config
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
+        # multi-process capable (beyond the reference's single-process
+        # DataParallel): the global batch is assembled from per-process
+        # disjoint loader shards exactly like the train path; eval_fn's
+        # mesh-wide mean is identical on every process, process 0 writes.
+        n_proc = jax.process_count()
+        is_main = jax.process_index() == 0
         # clamp: a batch size above the (possibly subset) split with
         # drop_last would yield zero batches and a NaN mean; also a multiple
-        # of the mesh data axis (the batch is device_put with P('data'))
-        bs = self._eval_batch_size(config.test.batch_size, len(test_ds), "test()")
-        loader = DataLoader(test_ds, batch_size=bs, shuffle=False, drop_last=True)
+        # of the mesh data axis (the batch is sharded with P('data'))
+        bs = self._eval_batch_size(
+            config.test.batch_size,
+            (len(test_ds) // max(1, n_proc)) * max(1, n_proc), "test()")
+        loader = DataLoader(test_ds, batch_size=bs // max(1, n_proc),
+                            shuffle=False, drop_last=True,
+                            num_processes=n_proc,
+                            process_index=jax.process_index())
         eval_fn = make_eval_loss_step(self.model, self.sched, config, mesh=self.mesh)
         sharding = data_sharding(self.mesh)
         max_batches = getattr(config.test, "max_batches", None)
@@ -754,13 +765,15 @@ class Runner:
             for i, (X, _) in enumerate(iter(loader)):
                 if max_batches is not None and i >= max_batches:
                     break
-                Xd = jax.device_put(jnp.asarray(X), sharding)
+                Xd = put_global_batch(self.mesh, np.asarray(X, np.float32),
+                                      sharding)
                 losses.append(float(eval_fn(params, Xd, jax.random.PRNGKey(i))))
             results[s or loaded_step] = float(np.mean(losses))
             logger.info("ckpt %s: test DSM loss %.3f", s or loaded_step, results[s or loaded_step])
-        out = os.path.join(args.log_path, "test_losses.yml")
-        with open(out, "w") as f:
-            yaml.safe_dump(results, f)
+        if is_main:
+            out = os.path.join(args.log_path, "test_losses.yml")
+            with open(out, "w") as f:
+                yaml.safe_dump(results, f)
         return results
 
     # ---------------------------------------------------------------- fast_fid

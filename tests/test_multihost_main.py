@@ -1,6 +1,7 @@
-"""Multi-host launch path: two real processes run `main.py --train` end to
-end over a shared 4-device (2 per process) virtual CPU mesh, with
-jax.distributed.initialize wired through MCVD_DIST (VERDICT r2 missing #1).
+"""Multi-host launch path: two real processes run `main.py --train` (and
+then `--test`) end to end over a shared 4-device (2 per process) virtual CPU
+mesh, with jax.distributed.initialize wired through MCVD_DIST (VERDICT r2
+missing #1).
 
 The reference's entire parallelism story is single-process DataParallel
 (ncsn_runner.py:266); this is the TPU-native multi-process equivalent:
@@ -29,15 +30,9 @@ def _free_port() -> int:
     return port
 
 
-def test_main_train_two_processes(tmp_path):
-    from tests.test_runner_train import make_cfg
-
-    cfg = make_cfg(str(tmp_path), wire_dtype="float32", n_iters=3,
-                   val_freq=2, checkpoint_freq=10, batch_size=4)
-    cfg_path = tmp_path / "tiny.yml"
-    with open(cfg_path, "w") as f:
-        yaml.safe_dump(namespace2dict(cfg), f)
-
+def _launch_two(cfg_path, tmp_path, mode_flag, extra_args=()):
+    """Run main.py twice (process 0/1) over one gloo coordinator; returns
+    [(returncode, output), ...]."""
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -61,21 +56,37 @@ def test_main_train_two_processes(tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, "main.py", "--config", str(cfg_path),
              "--data_path", str(tmp_path / "data"),
-             "--exp", str(tmp_path / "exp"), "--train", "--ni"],
+             "--exp", str(tmp_path / "exp"), mode_flag, "--ni", *extra_args],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-
-    outs = []
+    results = []
     for p in procs:
         out, _ = p.communicate(timeout=560)
-        outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+        results.append((p.returncode, out))
+    return results
+
+
+def test_main_train_then_test_two_processes(tmp_path):
+    from tests.test_runner_train import make_cfg
+
+    cfg = make_cfg(str(tmp_path), wire_dtype="float32", n_iters=3,
+                   val_freq=2, checkpoint_freq=10, batch_size=4)
+    from mcvd_tpu.config import dict2namespace
+
+    cfg.test = dict2namespace({"batch_size": 4, "max_batches": 2})
+    cfg_path = tmp_path / "tiny.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(namespace2dict(cfg), f)
+
+    outs = _launch_two(cfg_path, tmp_path, "--train")
+    for pid, (rc, out) in enumerate(outs):
+        assert rc == 0, f"train process {pid} failed:\n{out[-4000:]}"
     # distributed topology was actually initialized
-    assert "distributed: process 0/2, 4 global devices" in outs[0]
+    assert "distributed: process 0/2, 4 global devices" in outs[0][1]
     # process 0 wrote the rolling checkpoint; training ran to n_iters
     assert os.path.isdir(tmp_path / "exp" / "logs" / "checkpoint")
-    assert any("training done at step 3" in o for o in outs)
+    assert any("training done at step 3" in o for _, o in outs)
+
     # both processes agreed on the final loss (replicated state + global
     # all-reduced gradients): compare the last logged train loss
     def last_loss(out):
@@ -83,6 +94,24 @@ def test_main_train_two_processes(tmp_path):
                 if "| loss " in ln]
         return float(vals[-1]) if vals else None
 
-    l0, l1 = last_loss(outs[0]), last_loss(outs[1])
+    l0, l1 = last_loss(outs[0][1]), last_loss(outs[1][1])
     assert l0 is not None and l1 is not None
     np.testing.assert_allclose(l0, l1, rtol=1e-4)
+
+    # --test over the written checkpoint, also 2-process: per-process
+    # disjoint eval shards, identical global DSM loss, process-0 yml
+    outs = _launch_two(cfg_path, tmp_path, "--test")
+    for pid, (rc, out) in enumerate(outs):
+        assert rc == 0, f"test process {pid} failed:\n{out[-4000:]}"
+    with open(tmp_path / "exp" / "logs" / "test_losses.yml") as f:
+        results = yaml.safe_load(f)
+    assert results and all(np.isfinite(v) for v in results.values())
+
+    def swept_loss(out):
+        vals = [ln.rsplit("test DSM loss", 1)[1] for ln in out.splitlines()
+                if "test DSM loss" in ln]
+        return float(vals[-1]) if vals else None
+
+    t0, t1 = swept_loss(outs[0][1]), swept_loss(outs[1][1])
+    assert t0 is not None and t1 is not None
+    np.testing.assert_allclose(t0, t1, rtol=1e-4)
