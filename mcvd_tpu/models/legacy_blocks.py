@@ -267,12 +267,17 @@ class CondMSFBlock(nn.Module):
 
 class RefineBlock(nn.Module):
     """RefineNet block: per-input RCU adapters -> MSF -> CRP -> output RCU
-    (reference layers.py:266-297)."""
+    (reference layers.py:266-297).
+
+    No ``start`` field: MSF is gated purely on n_inputs > 1. The reference
+    CONSTRUCTS an msf submodule whenever start=False even if a single-input
+    forward never calls it; flax's compact modules only create params for
+    called submodules, so such orphan torch ``msf.*`` keys would surface as
+    an explicit KeyError in weight mapping rather than silently diverge."""
 
     features: int
     n_inputs: int
     act: Callable = _relu
-    start: bool = False
     end: bool = False
     maxpool: bool = True
 
@@ -294,14 +299,14 @@ class RefineBlock(nn.Module):
 
 
 class CondRefineBlock(nn.Module):
-    """Conditional RefineNet block (reference layers.py:300-340)."""
+    """Conditional RefineNet block (reference layers.py:300-340). Like
+    RefineBlock, MSF is gated on n_inputs > 1 (no dead ``start`` field)."""
 
     features: int
     n_inputs: int
     num_classes: int
     normalizer: Any
     act: Callable = _relu
-    start: bool = False
     end: bool = False
 
     @nn.compact

@@ -34,14 +34,23 @@ import jax.numpy as jnp
 
 from . import legacy_blocks as lb
 from .layers import Conv2d
-from .normalization import (
-    ConditionalInstanceNorm2dPlus,
-    InstanceNorm2dPlus,
-)
+from .normalization import ConditionalInstanceNorm2dPlus, get_normalization
 
 
-def _elu(x):
-    return jax.nn.elu(x)
+_ACTS = {"elu": jax.nn.elu, "relu": jax.nn.relu, "swish": jax.nn.silu,
+         "silu": jax.nn.silu, "softplus": jax.nn.softplus,
+         "lrelu": lambda x: jax.nn.leaky_relu(x, 0.2)}
+
+
+def _get_act(config):
+    """config.model.nonlinearity, defaulting to the published NCSN recipe
+    (elu). Raises on unknown names rather than silently substituting."""
+    name = str(getattr(config.model, "nonlinearity", "elu")).lower()
+    if name not in _ACTS:
+        raise ValueError(
+            f"model.nonlinearity={name!r} not supported for the ncsn archs "
+            f"(one of {sorted(_ACTS)})")
+    return _ACTS[name]
 
 
 def _input_scale(config, x):
@@ -68,29 +77,30 @@ class NCSNv2(nn.Module):
                  rng=None, train: bool = False):
         cfg = self.config
         ngf = cfg.model.ngf
-        act = _elu
+        act = _get_act(cfg)
+        norm_cls = get_normalization(cfg)
         adjust = int(getattr(cfg.data, "image_size", 32)) == 28
 
         h = _maybe_concat_cond(_input_scale(cfg, x), cond)
         out_ch = x.shape[-1]
 
         h = Conv2d(ngf, kernel=3, name="begin_conv")(h)
-        l1 = lb.ResidualBlock(ngf, ngf, act=act, name="res1_0")(h)
-        l1 = lb.ResidualBlock(ngf, ngf, act=act, name="res1_1")(l1)
+        l1 = lb.ResidualBlock(ngf, ngf, act=act, normalization=norm_cls, name="res1_0")(h)
+        l1 = lb.ResidualBlock(ngf, ngf, act=act, normalization=norm_cls, name="res1_1")(l1)
         l2 = lb.ResidualBlock(ngf, 2 * ngf, resample="down", act=act,
-                              name="res2_0")(l1)
-        l2 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, name="res2_1")(l2)
+                              normalization=norm_cls, name="res2_0")(l1)
+        l2 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, normalization=norm_cls, name="res2_1")(l2)
         l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, resample="down", act=act,
-                              dilation=2, name="res3_0")(l2)
+                              dilation=2, normalization=norm_cls, name="res3_0")(l2)
         l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, dilation=2,
-                              name="res3_1")(l3)
+                              normalization=norm_cls, name="res3_1")(l3)
         l4 = lb.ResidualBlock(2 * ngf, 2 * ngf, resample="down", act=act,
                               dilation=4, adjust_padding=adjust,
-                              name="res4_0")(l3)
+                              normalization=norm_cls, name="res4_0")(l3)
         l4 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, dilation=4,
-                              name="res4_1")(l4)
+                              normalization=norm_cls, name="res4_1")(l4)
 
-        r1 = lb.RefineBlock(2 * ngf, 1, act=act, start=True,
+        r1 = lb.RefineBlock(2 * ngf, 1, act=act,
                             name="refine1")([l4], l4.shape[1:3])
         r2 = lb.RefineBlock(2 * ngf, 2, act=act,
                             name="refine2")([l3, r1], l3.shape[1:3])
@@ -99,7 +109,7 @@ class NCSNv2(nn.Module):
         r4 = lb.RefineBlock(ngf, 2, act=act, end=True,
                             name="refine4")([l1, r3], l1.shape[1:3])
 
-        out = InstanceNorm2dPlus(ngf, name="normalizer")(r4)
+        out = norm_cls(ngf, name="normalizer")(r4)
         out = act(out)
         out = Conv2d(out_ch, kernel=3, name="end_conv")(out)
         return _smld_rescale(cfg, out, y)
@@ -115,30 +125,31 @@ class NCSNv2Deeper(nn.Module):
                  rng=None, train: bool = False):
         cfg = self.config
         ngf = cfg.model.ngf
-        act = _elu
+        act = _get_act(cfg)
+        norm_cls = get_normalization(cfg)
 
         h = _maybe_concat_cond(_input_scale(cfg, x), cond)
         out_ch = x.shape[-1]
 
         h = Conv2d(ngf, kernel=3, name="begin_conv")(h)
-        l1 = lb.ResidualBlock(ngf, ngf, act=act, name="res1_0")(h)
-        l1 = lb.ResidualBlock(ngf, ngf, act=act, name="res1_1")(l1)
+        l1 = lb.ResidualBlock(ngf, ngf, act=act, normalization=norm_cls, name="res1_0")(h)
+        l1 = lb.ResidualBlock(ngf, ngf, act=act, normalization=norm_cls, name="res1_1")(l1)
         l2 = lb.ResidualBlock(ngf, 2 * ngf, resample="down", act=act,
-                              name="res2_0")(l1)
-        l2 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, name="res2_1")(l2)
+                              normalization=norm_cls, name="res2_0")(l1)
+        l2 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, normalization=norm_cls, name="res2_1")(l2)
         l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, resample="down", act=act,
-                              name="res3_0")(l2)
-        l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, name="res3_1")(l3)
+                              normalization=norm_cls, name="res3_0")(l2)
+        l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, normalization=norm_cls, name="res3_1")(l3)
         l4 = lb.ResidualBlock(2 * ngf, 4 * ngf, resample="down", act=act,
-                              dilation=2, name="res4_0")(l3)
+                              dilation=2, normalization=norm_cls, name="res4_0")(l3)
         l4 = lb.ResidualBlock(4 * ngf, 4 * ngf, act=act, dilation=2,
-                              name="res4_1")(l4)
+                              normalization=norm_cls, name="res4_1")(l4)
         l5 = lb.ResidualBlock(4 * ngf, 4 * ngf, resample="down", act=act,
-                              dilation=4, name="res5_0")(l4)
+                              dilation=4, normalization=norm_cls, name="res5_0")(l4)
         l5 = lb.ResidualBlock(4 * ngf, 4 * ngf, act=act, dilation=4,
-                              name="res5_1")(l5)
+                              normalization=norm_cls, name="res5_1")(l5)
 
-        r1 = lb.RefineBlock(4 * ngf, 1, act=act, start=True,
+        r1 = lb.RefineBlock(4 * ngf, 1, act=act,
                             name="refine1")([l5], l5.shape[1:3])
         r2 = lb.RefineBlock(2 * ngf, 2, act=act,
                             name="refine2")([l4, r1], l4.shape[1:3])
@@ -149,7 +160,7 @@ class NCSNv2Deeper(nn.Module):
         r5 = lb.RefineBlock(ngf, 2, act=act, end=True,
                             name="refine5")([l1, r4], l1.shape[1:3])
 
-        out = InstanceNorm2dPlus(ngf, name="normalizer")(r5)
+        out = norm_cls(ngf, name="normalizer")(r5)
         out = act(out)
         out = Conv2d(out_ch, kernel=3, name="end_conv")(out)
         return _smld_rescale(cfg, out, y)
@@ -166,33 +177,34 @@ class NCSNv2Deepest(nn.Module):
                  rng=None, train: bool = False):
         cfg = self.config
         ngf = cfg.model.ngf
-        act = _elu
+        act = _get_act(cfg)
+        norm_cls = get_normalization(cfg)
 
         h = _maybe_concat_cond(_input_scale(cfg, x), cond)
         out_ch = x.shape[-1]
 
         h = Conv2d(ngf, kernel=3, name="begin_conv")(h)
-        l1 = lb.ResidualBlock(ngf, ngf, act=act, name="res1_0")(h)
-        l1 = lb.ResidualBlock(ngf, ngf, act=act, name="res1_1")(l1)
+        l1 = lb.ResidualBlock(ngf, ngf, act=act, normalization=norm_cls, name="res1_0")(h)
+        l1 = lb.ResidualBlock(ngf, ngf, act=act, normalization=norm_cls, name="res1_1")(l1)
         l2 = lb.ResidualBlock(ngf, 2 * ngf, resample="down", act=act,
-                              name="res2_0")(l1)
-        l2 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, name="res2_1")(l2)
+                              normalization=norm_cls, name="res2_0")(l1)
+        l2 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, normalization=norm_cls, name="res2_1")(l2)
         l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, resample="down", act=act,
-                              name="res3_0")(l2)
-        l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, name="res3_1")(l3)
+                              normalization=norm_cls, name="res3_0")(l2)
+        l3 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, normalization=norm_cls, name="res3_1")(l3)
         l31 = lb.ResidualBlock(2 * ngf, 2 * ngf, resample="down", act=act,
-                               name="res31_0")(l3)
-        l31 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, name="res31_1")(l31)
+                               normalization=norm_cls, name="res31_0")(l3)
+        l31 = lb.ResidualBlock(2 * ngf, 2 * ngf, act=act, normalization=norm_cls, name="res31_1")(l31)
         l4 = lb.ResidualBlock(2 * ngf, 4 * ngf, resample="down", act=act,
-                              dilation=2, name="res4_0")(l31)
+                              dilation=2, normalization=norm_cls, name="res4_0")(l31)
         l4 = lb.ResidualBlock(4 * ngf, 4 * ngf, act=act, dilation=2,
-                              name="res4_1")(l4)
+                              normalization=norm_cls, name="res4_1")(l4)
         l5 = lb.ResidualBlock(4 * ngf, 4 * ngf, resample="down", act=act,
-                              dilation=4, name="res5_0")(l4)
+                              dilation=4, normalization=norm_cls, name="res5_0")(l4)
         l5 = lb.ResidualBlock(4 * ngf, 4 * ngf, act=act, dilation=4,
-                              name="res5_1")(l5)
+                              normalization=norm_cls, name="res5_1")(l5)
 
-        r1 = lb.RefineBlock(4 * ngf, 1, act=act, start=True,
+        r1 = lb.RefineBlock(4 * ngf, 1, act=act,
                             name="refine1")([l5], l5.shape[1:3])
         r2 = lb.RefineBlock(2 * ngf, 2, act=act,
                             name="refine2")([l4, r1], l4.shape[1:3])
@@ -205,7 +217,7 @@ class NCSNv2Deepest(nn.Module):
         r5 = lb.RefineBlock(ngf, 2, act=act, end=True,
                             name="refine5")([l1, r4], l1.shape[1:3])
 
-        out = InstanceNorm2dPlus(ngf, name="normalizer")(r5)
+        out = norm_cls(ngf, name="normalizer")(r5)
         out = act(out)
         out = Conv2d(out_ch, kernel=3, name="end_conv")(out)
         return _smld_rescale(cfg, out, y)
@@ -223,7 +235,10 @@ class CondRefineNetDilated(nn.Module):
         cfg = self.config
         ngf = cfg.model.ngf
         K = cfg.model.num_classes
-        act = _elu
+        act = _get_act(cfg)
+        if getattr(cfg.model, "normalization", "InstanceNorm++") != "InstanceNorm++":
+            raise NotImplementedError(
+                "NCSNv1 supports only InstanceNorm++ conditional norms")
         norm = ConditionalInstanceNorm2dPlus
         adjust = int(getattr(cfg.data, "image_size", 32)) == 28
 
@@ -251,7 +266,7 @@ class CondRefineNetDilated(nn.Module):
         l4 = lb.ConditionalResidualBlock(2 * ngf, 2 * ngf, K, act=act,
                                          dilation=4, name="res4_1")(l4, y)
 
-        r1 = lb.CondRefineBlock(2 * ngf, 1, K, norm, act=act, start=True,
+        r1 = lb.CondRefineBlock(2 * ngf, 1, K, norm, act=act,
                                 name="refine1")([l4], y, l4.shape[1:3])
         r2 = lb.CondRefineBlock(2 * ngf, 2, K, norm, act=act,
                                 name="refine2")([l3, r1], y, l3.shape[1:3])

@@ -291,8 +291,12 @@ class Runner:
                 # unboundedly ahead (each in-flight step pins its input);
                 # np.asarray is the reliable barrier on axon
                 _ = np.asarray(metrics["grad_norm"])
+                # a completed barrier proves the system is live: bump AND
+                # clear any suspension (non-main processes park at a
+                # snapshot crossing and have no other resume point)
                 heartbeat["t"] = time.monotonic()
                 heartbeat["step"] = step
+                heartbeat["suspended"] = False
             if profile_at and prev_step < profile_at + 3 <= step:
                 try:
                     jax.profiler.stop_trace()
@@ -338,6 +342,7 @@ class Runner:
                                       batch_sh)
                 val = float(eval_fn(state.ema_params, Xv, k))
                 heartbeat["t"] = time.monotonic()
+                heartbeat["suspended"] = False
                 meters["losses_test"].update(val, step)
                 logger.info("step %d | test loss %.2f", step, val)
             if crossed(ckpt_freq, prev_step, step):
@@ -356,11 +361,15 @@ class Runner:
                 checkpoints.save_checkpoint(
                     self._ckpt_dir(), state, name=f"checkpoint_{snap_step}")
                 # in-training eval is process-0-local (collective-free jit)
+                if getattr(config.training, "snapshot_sampling", True):
+                    # in-training eval legitimately blocks for a long time.
+                    # Park the watchdog on EVERY process: non-main skips the
+                    # eval but wedges at its next barrier waiting on process
+                    # 0, so it must not fire either — the barrier itself
+                    # un-suspends once it completes.
+                    heartbeat["suspended"] = True
                 if getattr(config.training, "snapshot_sampling", True) and is_main:
                     try:
-                        # in-training eval legitimately blocks for a long
-                        # time — park the stall watchdog for its duration
-                        heartbeat["suspended"] = True
                         vm = self._video_gen_inner(state, eval_test_ds, train=True, ckpt=step)
                         logger.info("snapshot metrics @%d: %s", step, vm)
                         for task in ("", "2", "3"):
@@ -378,6 +387,11 @@ class Runner:
                     finally:
                         heartbeat["t"] = time.monotonic()
                         heartbeat["suspended"] = False
+        # disarm the watchdog for good: the loop is over, and anything that
+        # legitimately outlives it (final collective checkpoint save, a
+        # caller chaining test()/video_gen() on this Runner) must not be
+        # hard-killed by a stale heartbeat
+        heartbeat["suspended"] = True
         checkpoints.save_checkpoint(self._ckpt_dir(), state)
         if is_main:
             meters_mod.save_meters(meters, args.log_path)
@@ -739,6 +753,16 @@ class Runner:
         eval_fn = make_eval_loss_step(self.model, self.sched, config, mesh=self.mesh)
         sharding = data_sharding(self.mesh)
         max_batches = getattr(config.test, "max_batches", None)
+        # strided sharding (idx[p::P]) gives some processes one extra item;
+        # with per-process drop_last the shards can yield UNEQUAL batch
+        # counts, and an unmatched put_global_batch/eval_fn is a collective
+        # the other processes never join (hang, or worse: silent pairing of
+        # different checkpoints' batches). Cap every process at the count
+        # the SMALLEST shard is guaranteed to yield.
+        n_common = (len(test_ds) // max(1, n_proc)) // max(
+            1, bs // max(1, n_proc))
+        if max_batches is not None:
+            n_common = min(n_common, int(max_batches))
 
         results = {}
         ckpt_dir = self._ckpt_dir()
@@ -763,7 +787,7 @@ class Runner:
             params, loaded_step = self._load_eval_params(s)
             losses = []
             for i, (X, _) in enumerate(iter(loader)):
-                if max_batches is not None and i >= max_batches:
+                if i >= n_common:
                     break
                 Xd = put_global_batch(self.mesh, np.asarray(X, np.float32),
                                       sharding)

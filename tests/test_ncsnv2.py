@@ -3,8 +3,9 @@
 No reference implementation exists to compare against — the reference's
 ``arch: ncsn`` dispatch returns None (runners/ncsn_runner.py:194-195 builds
 an Exception without raising) and ships no NCSNv1/v2 model file — so these
-tests check architecture invariants (shapes, finiteness, SMLD rescale
-semantics, gradient flow) over the golden-parity-tested legacy blocks."""
+tests check architecture invariants (shapes, finiteness, the raw-eps
+output convention, gradient flow) over the golden-parity-tested legacy
+blocks."""
 
 import jax
 import jax.numpy as jnp

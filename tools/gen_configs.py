@@ -203,6 +203,7 @@ CONFIGS = {
         "model": {"arch": "ncsnv2", "version": "SMLD",
                   "sigma_dist": "geometric", "sigma_begin": 50.0,
                   "sigma_end": 0.01, "num_classes": 232, "ngf": 128,
+                  "nonlinearity": "elu", "normalization": "InstanceNorm++",
                   "conditional": False, "ema": True, "ema_rate": 0.999},
     },
 }

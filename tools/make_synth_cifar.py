@@ -89,7 +89,10 @@ def main():
     ap.add_argument("--out", default="/tmp/cifar_synth")
     ap.add_argument("--per-class", type=int, default=500)
     ap.add_argument("--test-per-class", type=int, default=100)
-    ap.add_argument("--size", type=int, default=32)
+    # the cifar-10-batches-py pickle format is 32x32x3 by definition; the
+    # loader hard-reshapes rows to (3,32,32), so any other size would write
+    # garbled-or-crashing rows
+    ap.add_argument("--size", type=int, default=32, choices=[32])
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
