@@ -122,3 +122,59 @@ def test_ncsnv2_dsm_grad_flow():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(bool(jnp.isfinite(g).all()) for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_ncsnv2_raw_eps_convention_beats_divided_output():
+    """Differential regression guard for the output-convention bug.
+
+    Predicting eps=0 gives DSM loss exactly 0.5*D (D = H*W*C = 768 here).
+    On the published 50->0.01 sigma ladder, short training with the CORRECT
+    raw-eps output gets below that floor (large-sigma levels make z ~=
+    x_t/sigma recoverable), while the buggy internal out/sigma division
+    1/sigma^2-amplifies the small-sigma levels and keeps the loss far above
+    it (measured here: ~369 vs ~1079 vs floor 384 after 250 steps; the
+    original at-scale run pinned at the floor for 20k steps)."""
+    import optax
+
+    config = make_config(ngf=8, image_size=16)
+    config.model.sigma_begin = 50.0
+    sched = make_schedule(config)
+    model = get_model(config)
+    data = jnp.asarray(np.random.RandomState(0).rand(8, 16, 16, 3),
+                       jnp.float32)
+    sigmas = jnp.asarray(sched.sigmas)
+
+    def train(divide: bool, n: int = 250) -> float:
+        params = model.init(jax.random.PRNGKey(0), data[:2],
+                            jnp.array([0, 1]))
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, key):
+            def loss_fn(p):
+                def f(xt, yt, c, cm):
+                    out = model.apply(p, xt, yt)
+                    if divide:   # simulate the bug
+                        out = out / sigmas[yt].reshape(-1, 1, 1, 1)
+                    return out
+
+                return dsm_loss(key, f, data, sched)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(n):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, k)
+            losses.append(float(loss))
+        return float(np.mean(losses[-20:]))
+
+    floor = 0.5 * 16 * 16 * 3
+    good = train(divide=False)
+    bad = train(divide=True)
+    assert good < 0.98 * floor, (good, floor)
+    assert bad > floor and bad > 2 * good, (good, bad, floor)
