@@ -211,6 +211,7 @@ def run_video_gen(
     i3d_embedder: Optional[Callable] = None,
     save_artifacts: Optional[Callable] = None,
     batch_sharding=None,
+    block_sampler: Optional[Callable] = None,
 ) -> Dict:
     """Full 3-pass metric harness. `test_loader` yields raw (B,T,H,W,C)
     batches in [0,1] where each video is repeated preds_per_test times.
@@ -229,7 +230,12 @@ def run_video_gen(
     calc_fvd3 = calc_fvd and (condp > 0.0)
     is_mnist = data.dataset.upper() in ("STOCHASTICMOVINGMNIST", "MOVINGMNIST")
 
-    block_sampler = make_block_sampler(config, model, sched)
+    # an injected block_sampler overrides the default jit — the runner passes
+    # a wrap_block_collective-wrapped one under multi-process (all host-side
+    # logic here stays process-local and identical on every process; only the
+    # sampler chain is a cross-process SPMD program)
+    if block_sampler is None:
+        block_sampler = make_block_sampler(config, model, sched)
     max_data_iter = max_data_iter or getattr(config.sampling, "max_data_iter", 1)
 
     vid = {k: [] for k in ("mse", "ssim", "lpips")}

@@ -56,6 +56,72 @@ def put_global_batch(mesh: Mesh, x, sharding: Optional[NamedSharding] = None):
     return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
 
+def put_full_batch(mesh: Mesh, x, sharding: Optional[NamedSharding] = None):
+    """Device-put an array whose FULL global value is present on every
+    process (the eval paths load the whole split on each host and only the
+    device compute is sharded — unlike the train path's disjoint per-host
+    loading in put_global_batch). Single-process: plain device_put.
+    Multi-process: make_array_from_callback slices each process's
+    addressable shards out of the full host value."""
+    sharding = sharding if sharding is not None else data_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # already a global array (e.g. replicated train-state params at an
+        # in-training snapshot eval) — hand it to the SPMD program as-is
+        return x
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def host_value(a) -> np.ndarray:
+    """Materialize a (possibly non-fully-addressable) jax.Array on host.
+    For multi-process global arrays this is a collective allgather — every
+    process must call it on the same array in the same order."""
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a))
+    return np.asarray(a)
+
+
+def wrap_block_collective(block, mesh: Mesh):
+    """Turn a jitted block sampler `block(params, key, init, cond, cond_mask)`
+    into a multi-process collective island: inputs are full host values
+    identical on every process (params replicated, batch args sharded over
+    'data'), the inner jit runs as ONE SPMD program over the global mesh, and
+    the output is allgathered back to a full local value.
+
+    This is the eval-side multi-host pattern (reference analog: the
+    DataParallel wrap at ncsn_runner.py:924/1377/2442): every process runs
+    the identical host-side harness (loading the full eval split, metric
+    math, RNG threading), so results agree bit-for-bit without any
+    cross-process metric reduction — only the expensive reverse-diffusion
+    chain is sharded. Every process MUST call the wrapped sampler the same
+    number of times with the same shapes (it is a collective)."""
+    repl = replicated_sharding(mesh)
+    dsh = data_sharding(mesh)
+    # memo holds a strong ref to the source tree so the identity check can't
+    # alias a new tree to a stale put (id() reuse after GC)
+    memo = {"src": None, "put": None}
+
+    def wrapped(params, key, init, cond, cond_mask):
+        if memo["src"] is not params:  # one live param tree (ensemble re-puts)
+            memo["src"] = params
+            memo["put"] = jax.tree_util.tree_map(
+                lambda a: put_full_batch(mesh, a, repl), params)
+        gen = block(
+            memo["put"],
+            np.asarray(key),
+            put_full_batch(mesh, init, dsh),
+            None if cond is None else put_full_batch(mesh, cond, dsh),
+            None if cond_mask is None else put_full_batch(mesh, cond_mask, dsh),
+        )
+        return jax.numpy.asarray(host_value(gen))
+
+    return wrapped
+
+
 def has_tensor_axis(mesh: Optional[Mesh]) -> bool:
     return (mesh is not None and "tensor" in mesh.axis_names
             and mesh.shape["tensor"] > 1)

@@ -34,7 +34,8 @@ from ..models import get_model
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..parallel import data_sharding, make_mesh
-from ..parallel.mesh import batch_sharding as mesh_batch_sharding, put_global_batch
+from ..parallel.mesh import (batch_sharding as mesh_batch_sharding,
+                             put_global_batch, wrap_block_collective)
 from ..train import (
     checkpoints,
     create_train_state,
@@ -360,16 +361,22 @@ class Runner:
                 snap_step = (step // snapshot_freq) * snapshot_freq
                 checkpoints.save_checkpoint(
                     self._ckpt_dir(), state, name=f"checkpoint_{snap_step}")
-                # in-training eval is process-0-local (collective-free jit)
+                # in-training eval: single-process it is a local jit on
+                # process 0; multi-process EVERY process joins (the sampler
+                # is a collective island, _mp_block_sampler) and process 0
+                # owns the meters/yml writes
                 if getattr(config.training, "snapshot_sampling", True):
-                    # in-training eval legitimately blocks for a long time.
-                    # Park the watchdog on EVERY process: non-main skips the
-                    # eval but wedges at its next barrier waiting on process
-                    # 0, so it must not fire either — the barrier itself
-                    # un-suspends once it completes.
+                    # in-training eval legitimately blocks for a long time —
+                    # park the watchdog on every process for its duration
                     heartbeat["suspended"] = True
-                if getattr(config.training, "snapshot_sampling", True) and is_main:
+                if getattr(config.training, "snapshot_sampling", True) and (
+                        is_main or n_proc > 1):
                     try:
+                        # NB multi-process: an exception on ONE process
+                        # desyncs the collective; the others stall at their
+                        # next step until the stall watchdog (or the
+                        # operator) restarts the job from the checkpoint —
+                        # the same recovery path as any mid-step crash.
                         vm = self._video_gen_inner(state, eval_test_ds, train=True, ckpt=step)
                         logger.info("snapshot metrics @%d: %s", step, vm)
                         for task in ("", "2", "3"):
@@ -378,10 +385,11 @@ class Runner:
                                     meters[f"{name}{task}_meter"].update(
                                         vm[f"{name}{task}"], step)
                         best = meters_mod.update_best(meters, vm or {}, step)
-                        logger.info("best so far: %s", best)
-                        with open(os.path.join(args.log_path, "best_metrics.yml"),
-                                  "w") as f:
-                            yaml.safe_dump(best, f)
+                        if is_main:
+                            logger.info("best so far: %s", best)
+                            with open(os.path.join(args.log_path, "best_metrics.yml"),
+                                      "w") as f:
+                                yaml.safe_dump(best, f)
                     except Exception as e:  # eval must not kill training
                         logger.exception("in-training video_gen failed: %s", e)
                     finally:
@@ -463,6 +471,7 @@ class Runner:
             jax.random.PRNGKey(getattr(self.args, "seed", 0) + ckpt),
             ckpt=ckpt, max_data_iter=max_data_iter, preds_per_test=preds_per_test,
             train=train, lpips_fn=lpips_fn, i3d_embedder=i3d_embedder,
+            block_sampler=self._mp_block_sampler(params),
         )
 
     def _enable_eval_kernels(self):
@@ -474,8 +483,27 @@ class Runner:
 
         ops.set_use_pallas(False)
 
+    def _mp_block_sampler(self, params, ensemble: bool = False):
+        """Multi-process eval sampler: every process runs the identical
+        host-side harness over the FULL eval split; only the jitted
+        reverse-diffusion block is a cross-process SPMD program (see
+        parallel.mesh.wrap_block_collective). Returns None single-process
+        (callers fall back to the local jit)."""
+        if jax.process_count() == 1:
+            return None
+        if not hasattr(self, "_mp_block_jits"):
+            self._mp_block_jits = {}
+        block = self._mp_block_jits.get(ensemble)
+        if block is None:
+            # one inner jit per Runner (re-traced per snapshot otherwise)
+            block = make_block_sampler(self.config, self.model, self.sched,
+                                       ensemble=ensemble)
+            self._mp_block_jits[ensemble] = block
+        return wrap_block_collective(block, self.mesh)
+
     def video_gen(self, ckpt: Optional[int] = None):
         args, config = self.args, self.config
+        is_main = jax.process_index() == 0
         self._enable_eval_kernels()
         num_frames_pred = config.sampling.num_frames_pred
         _, test_ds = get_dataset(
@@ -506,18 +534,22 @@ class Runner:
                 pred=unfold(pred), real=unfold(real), cond=unfold(cond),
             )
 
+        mp_block = self._mp_block_sampler(params)
         vm = run_video_gen(
             config, self.model, params, self.sched, iter(loader),
             jax.random.PRNGKey(getattr(args, "seed", 0)),
             ckpt=ckpt or step, max_data_iter=getattr(config.sampling, "max_data_iter", 1),
             preds_per_test=preds_per_test, lpips_fn=lpips_fn,
-            i3d_embedder=i3d_embedder, save_artifacts=save_artifacts,
+            i3d_embedder=i3d_embedder,
+            save_artifacts=save_artifacts if is_main else None,
+            block_sampler=mp_block,
             batch_sharding=mesh_batch_sharding(self.mesh, 5, h_axis=2)
-            if self.mesh.devices.size > 1 else None,
+            if mp_block is None and self.mesh.devices.size > 1 else None,
         )
-        with open(os.path.join(out_dir, "vid_metrics.yml"), "w") as f:
-            yaml.safe_dump({k: float(v) if isinstance(v, (int, float, np.floating)) else v
-                            for k, v in vm.items()}, f)
+        if is_main:
+            with open(os.path.join(out_dir, "vid_metrics.yml"), "w") as f:
+                yaml.safe_dump({k: float(v) if isinstance(v, (int, float, np.floating)) else v
+                                for k, v in vm.items()}, f)
         logger.info("video_gen metrics: %s", vm)
         return vm
 
@@ -588,7 +620,8 @@ class Runner:
             num_frames_pred=config.data.num_frames,
             prob_mask_cond=0.0, prob_mask_future=0.0, conditional=conditional,
         )
-        block = make_block_sampler(config, self.model, self.sched)
+        block = (self._mp_block_sampler(params)
+                 or make_block_sampler(config, self.model, self.sched))
         key = jax.random.PRNGKey(getattr(args, "seed", 0))
         shape = real.shape
         init = init_noise(key, config, self.sched, shape)
@@ -596,13 +629,14 @@ class Runner:
         gen = np.asarray(inverse_data_transform(config, gen))
         out_dir = getattr(args, "image_folder", args.log_path)
         os.makedirs(out_dir, exist_ok=True)
-        np.savez(
-            os.path.join(out_dir, f"samples_{ckpt or step}.npz"),
-            samples=gen,
-            real=np.asarray(inverse_data_transform(config, real)),
-            cond=np.asarray(inverse_data_transform(config, cond)) if cond is not None else None,
-        )
-        logger.info("wrote samples to %s", out_dir)
+        if jax.process_index() == 0:
+            np.savez(
+                os.path.join(out_dir, f"samples_{ckpt or step}.npz"),
+                samples=gen,
+                real=np.asarray(inverse_data_transform(config, real)),
+                cond=np.asarray(inverse_data_transform(config, cond)) if cond is not None else None,
+            )
+            logger.info("wrote samples to %s", out_dir)
         return gen
 
     def _sample_fid_loop(self, ckpt: Optional[int] = None):
@@ -614,13 +648,17 @@ class Runner:
         params, step = self._load_eval_params(ckpt)
         total = getattr(config.sampling, "num_samples4fid", 10000)
         bs = getattr(config.sampling, "batch_size", 16)
+        if jax.process_count() > 1:
+            # the collective-island sampler shards the batch P('data')
+            bs = self._eval_batch_size(bs, bs, "sample fid loop")
         n_rounds = max(1, (total + bs - 1) // bs)  # ceil: never undershoot
         conditional = config.data.num_frames_cond > 0
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
         data_iter = iter(DataLoader(test_ds, batch_size=bs, shuffle=True,
                                     seed=getattr(args, "seed", 0), repeat=True))
-        block = make_block_sampler(config, self.model, self.sched)
+        block = (self._mp_block_sampler(params)
+                 or make_block_sampler(config, self.model, self.sched))
         out_dir = getattr(args, "image_folder", args.log_path)
         os.makedirs(out_dir, exist_ok=True)
         key = jax.random.PRNGKey(getattr(args, "seed", 0))
@@ -639,8 +677,9 @@ class Runner:
             init = init_noise(k1, config, self.sched, (bs, sz, sz, C * F))
             gen = block(params, k2, init, cond, cond_mask)
             gen = np.asarray(inverse_data_transform(config, gen))
-            np.savez(os.path.join(out_dir, f"fid_samples_{ckpt or step}_{i:05d}.npz"),
-                     samples=gen)
+            if jax.process_index() == 0:
+                np.savez(os.path.join(out_dir, f"fid_samples_{ckpt or step}_{i:05d}.npz"),
+                         samples=gen)
             n_written += len(gen)
         logger.info("wrote %d FID sample batches (%d videos) to %s",
                     n_rounds, n_written, out_dir)
@@ -682,9 +721,10 @@ class Runner:
         out = np.asarray(inverse_data_transform(config, out))
         out_dir = getattr(args, "image_folder", args.log_path)
         os.makedirs(out_dir, exist_ok=True)
-        np.savez(os.path.join(out_dir, f"inpainting_{ckpt or step}.npz"),
-                 samples=out,
-                 refer=np.asarray(inverse_data_transform(config, refer)))
+        if jax.process_index() == 0:
+            np.savez(os.path.join(out_dir, f"inpainting_{ckpt or step}.npz"),
+                     samples=out,
+                     refer=np.asarray(inverse_data_transform(config, refer)))
         return out
 
     def _sample_interpolation(self, ckpt):
@@ -720,7 +760,8 @@ class Runner:
         out = np.asarray(inverse_data_transform(config, out))
         out_dir = getattr(args, "image_folder", args.log_path)
         os.makedirs(out_dir, exist_ok=True)
-        np.savez(os.path.join(out_dir, f"interpolation_{ckpt or step}.npz"), samples=out)
+        if jax.process_index() == 0:
+            np.savez(os.path.join(out_dir, f"interpolation_{ckpt or step}.npz"), samples=out)
         return out
 
     # ------------------------------------------------------------------ test
@@ -837,6 +878,9 @@ class Runner:
                                  video_frames_pred=config.data.num_frames)
         num_samples = getattr(ff, "num_samples", 1000)
         bs = min(getattr(ff, "batch_size", 100), num_samples)
+        if jax.process_count() > 1:
+            # the collective-island sampler shards the batch P('data')
+            bs = self._eval_batch_size(bs, bs, "fast_fid")
         k = getattr(ff, "pr_nn_k", 3)
         no_pr = bool(getattr(args, "no_pr", False))
 
@@ -859,7 +903,7 @@ class Runner:
                     break
             real_imgs = np.concatenate(reals)[:num_samples]
             feat_r = embed(real_imgs)
-            if feats_dir:
+            if feats_dir and jax.process_index() == 0:
                 os.makedirs(feats_dir, exist_ok=True)
                 np.save(os.path.join(feats_dir, f"{ds_name}_feats.npy"), feat_r)
 
@@ -869,6 +913,12 @@ class Runner:
         num_ensembles = int(getattr(ff, "num_ensembles", 5))
         block = make_block_sampler(config, self.model, self.sched,
                                    ensemble=ensemble)
+        if jax.process_count() > 1:
+            # multi-process: the sampler chain is the collective island;
+            # loaders/feature-embedding/Fréchet math run identically on every
+            # process (same seeds), process 0 owns the cache/yml writes
+            block = wrap_block_collective(block, self.mesh)
+        is_main = jax.process_index() == 0
         C, F = config.data.channels, config.data.num_frames
 
         fids = {}
@@ -927,9 +977,10 @@ class Runner:
                         )
                     )
                 sample_imgs = np.concatenate(samples)[:num_samples]
-                np.save(os.path.join(cache_dir, f"samples_{tag}.npy"), sample_imgs)
                 feat_g = embed(sample_imgs)
-                np.save(feats_cache, feat_g)
+                if is_main:
+                    np.save(os.path.join(cache_dir, f"samples_{tag}.npy"), sample_imgs)
+                    np.save(feats_cache, feat_g)
             if no_pr:
                 from ..eval.fid import activation_statistics, calculate_frechet_distance
 
@@ -943,6 +994,7 @@ class Runner:
                         " (ensemble)" if ensemble else "", res)
 
         out = {int(kk): {m: float(v) for m, v in vv.items()} for kk, vv in fids.items()}
-        with open(os.path.join(args.log_path, "fids.yml"), "w") as f:
-            yaml.safe_dump(out, f)
+        if is_main:
+            with open(os.path.join(args.log_path, "fids.yml"), "w") as f:
+                yaml.safe_dump(out, f)
         return out

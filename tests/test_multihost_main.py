@@ -115,3 +115,26 @@ def test_main_train_then_test_two_processes(tmp_path):
     t0, t1 = swept_loss(outs[0][1]), swept_loss(outs[1][1])
     assert t0 is not None and t1 is not None
     np.testing.assert_allclose(t0, t1, rtol=1e-4)
+
+    # --video_gen over the same checkpoint, also 2-process: every process
+    # runs the identical host-side harness; the reverse-diffusion block is
+    # the collective island (parallel.mesh.wrap_block_collective), process 0
+    # writes vid_metrics.yml + artifacts
+    outs = _launch_two(cfg_path, tmp_path, "--video_gen")
+    for pid, (rc, out) in enumerate(outs):
+        assert rc == 0, f"video_gen process {pid} failed:\n{out[-4000:]}"
+    with open(tmp_path / "exp" / "video_samples" / "videos" / "vid_metrics.yml") as f:
+        vm = yaml.safe_load(f)
+    assert np.isfinite(vm["mse"]) and np.isfinite(vm["psnr"])
+
+    def vg_mse(out):
+        import re
+
+        ms = re.findall(r"video_gen metrics: .*?'mse': ([0-9.e+-]+)", out)
+        return float(ms[-1]) if ms else None
+
+    m0, m1 = vg_mse(outs[0][1]), vg_mse(outs[1][1])
+    assert m0 is not None and m1 is not None
+    # identical RNG threading + one SPMD sampler => identical metrics
+    np.testing.assert_allclose(m0, m1, rtol=1e-5)
+    assert abs(m0 - vm["mse"]) / max(vm["mse"], 1e-9) < 1e-5
