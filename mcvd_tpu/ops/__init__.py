@@ -8,7 +8,11 @@ GroupNorm kernel has a custom VJP and is training-safe; attention is
 forward-only (eval paths).
 """
 
-from . import attention, fused_act, groupnorm, upfirdn, winograd
+# the dormant kernels live in the bounded lab/ (see README.md decision
+# record) but keep their `ops.<kind>` attribute paths for the
+# set_use_pallas switch and the shoot-out harnesses
+from . import fused_act, upfirdn
+from .lab import attention, groupnorm, winograd
 
 _KINDS = ("attention", "groupnorm", "winograd")
 _USE: dict = {k: False for k in _KINDS}

@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.layers import group_norm as group_norm_reference  # lax reference
+from ...models.layers import group_norm as group_norm_reference  # lax reference
 
 VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 

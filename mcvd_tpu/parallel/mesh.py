@@ -85,6 +85,107 @@ def host_value(a) -> np.ndarray:
     return np.asarray(a)
 
 
+def coord_barrier(name: str, timeout_s: Optional[float] = None) -> None:
+    """Barrier every process at `name` via the distributed COORDINATION
+    SERVICE (gRPC wait_at_barrier) — NOT a device collective.
+
+    multihost_utils.sync_global_devices is an allgather over devices: its
+    first execution creates a gloo context whose rendezvous window is ~30s,
+    so it cannot be used to absorb compile-time skew (the very thing that
+    needs a barrier). This one blocks for up to MCVD_BARRIER_TIMEOUT seconds
+    (default 900 — above the worst observed axon compile, CLAUDE.md)."""
+    import os
+
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("MCVD_BARRIER_TIMEOUT", "900"))
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
+def lockstep(fn, name: str, timeout_s: Optional[float] = None):
+    """Make a jitted collective program safe against compile-time skew.
+
+    Each compiled XLA:CPU collective program creates its own gloo context on
+    FIRST EXECUTION, with a ~30s KV rendezvous window. If processes reach
+    that first execution minutes apart (asymmetric compile-cache hit/miss,
+    compile-time variance), the rendezvous DEADLINE_EXCEEDs and the job
+    dies (observed: r3 judge run, tests/test_multihost_main.py cold-cache).
+
+    Fix: on the first call with a new abstract signature, AOT-compile the
+    program (fn.lower(*args).compile() — however long that takes, no
+    timeout is involved), then meet every process at a coordination-service
+    barrier, then execute. The first gloo rendezvous therefore always
+    happens with all processes in lockstep, bounded only by the barrier
+    timeout (MCVD_BARRIER_TIMEOUT, default 900s). Single-process returns fn
+    unchanged. All processes must call the wrapped fn in the same order
+    (they run identical host code — already a collective requirement)."""
+    if jax.process_count() == 1:
+        return fn
+    seen: dict = {}
+
+    def signature(args):
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        return (
+            str(treedef),
+            tuple((getattr(l, "shape", ()), str(getattr(l, "dtype", type(l).__name__)))
+                  for l in leaves),
+        )
+
+    def wrapped(*args):
+        key = signature(args)
+        if key not in seen:
+            compiled = None
+            try:
+                compiled = fn.lower(*args).compile()
+            except Exception:
+                # non-jit callable or lowering corner: still barrier so the
+                # in-call compile at least starts in lockstep
+                pass
+            import os
+            import time
+
+            # fault injection for the skew-hardening tests: pretend this
+            # process's compile took MCVD_TEST_COMPILE_DELAY extra seconds
+            delay = float(os.environ.get("MCVD_TEST_COMPILE_DELAY", "0") or 0)
+            if delay:
+                time.sleep(delay)
+            coord_barrier(f"mcvd:lockstep:{name}:{len(seen)}", timeout_s)
+            seen[key] = compiled
+        compiled = seen[key]
+        if compiled is not None:
+            try:
+                return compiled(*args)
+            except Exception:
+                # sharding/layout mismatch vs the AOT signature — fall back
+                # to the jit path (persistent cache makes it a fast reload)
+                seen[key] = None
+        return fn(*args)
+
+    return wrapped
+
+
+def all_processes_true(flag) -> bool:
+    """Collective AND of a per-process host-side predicate.
+
+    Keeps filesystem-dependent branches (cache hits, artifact existence)
+    IDENTICAL across processes: on non-shared disks only some processes may
+    see a file, and branching per-process would desync the subsequent
+    collectives (hang / silent mispairing). Every process must call this at
+    the same host-code point."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    votes = multihost_utils.process_allgather(np.asarray(bool(flag), np.int32))
+    return bool(np.min(votes))
+
+
 def wrap_block_collective(block, mesh: Mesh):
     """Turn a jitted block sampler `block(params, key, init, cond, cond_mask)`
     into a multi-process collective island: inputs are full host values
@@ -101,6 +202,9 @@ def wrap_block_collective(block, mesh: Mesh):
     number of times with the same shapes (it is a collective)."""
     repl = replicated_sharding(mesh)
     dsh = data_sharding(mesh)
+    # compile-skew hardening: the block's first execution rendezvouses a
+    # fresh gloo context — AOT-compile + coordination barrier first
+    block = lockstep(block, "block_sampler")
     # memo holds a strong ref to the source tree so the identity check can't
     # alias a new tree to a stale put (id() reuse after GC)
     memo = {"src": None, "put": None}

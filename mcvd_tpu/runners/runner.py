@@ -134,14 +134,15 @@ class Runner:
                 f"jax.process_count()={n_proc}")
         bs_local = bs // max(1, n_proc)
         if n_proc > 1:
-            # Establish the cross-process collective context NOW, while the
-            # processes are still in lock-step: the first collective performs
-            # a bounded (~30s) rendezvous, and the upcoming model/step
-            # compiles can skew processes by minutes (cache asymmetry) —
-            # a first-contact rendezvous there deadline-exceeds.
-            from jax.experimental import multihost_utils
+            # Meet at a coordination-service barrier (pure gRPC, long
+            # timeout) before any compiles: detects a dead peer early. The
+            # gloo-context rendezvous hazard itself (first EXECUTION of each
+            # compiled collective program has a ~30s window, while compiles
+            # can skew processes by minutes) is handled per-program by
+            # parallel.mesh.lockstep below: AOT-compile, barrier, execute.
+            from ..parallel.mesh import coord_barrier
 
-            multihost_utils.sync_global_devices("mcvd:train_start")
+            coord_barrier("mcvd:train_start")
         num_workers = int(getattr(config.data, "num_workers", 0) or 0)
         loader = DataLoader(train_ds, batch_size=bs_local, shuffle=True,
                             seed=getattr(args, "seed", 0),
@@ -191,13 +192,19 @@ class Runner:
 
         donate = (bool(getattr(config.training, "donate", True))
                   and donation_supported())
+        from ..parallel.mesh import lockstep
+
         if K > 1:
-            chunk_fn = make_train_chunk(self.model, self.sched, config, K,
-                                        mesh=self.mesh, donate=donate)
+            chunk_fn = lockstep(
+                make_train_chunk(self.model, self.sched, config, K,
+                                 mesh=self.mesh, donate=donate), "train_chunk")
         else:
-            step_fn = make_train_step(self.model, self.sched, config,
-                                      mesh=self.mesh, donate=donate)
-        eval_fn = make_eval_loss_step(self.model, self.sched, config, mesh=self.mesh)
+            step_fn = lockstep(
+                make_train_step(self.model, self.sched, config,
+                                mesh=self.mesh, donate=donate), "train_step")
+        eval_fn = lockstep(
+            make_eval_loss_step(self.model, self.sched, config, mesh=self.mesh),
+            "eval_loss")
         # multi-process: local batches must be assembled into global arrays
         # with the jit's exact in_shardings (single-process keeps the numpy
         # fast path — jit's implicit transfer is async, see below)
@@ -371,12 +378,8 @@ class Runner:
                     heartbeat["suspended"] = True
                 if getattr(config.training, "snapshot_sampling", True) and (
                         is_main or n_proc > 1):
+                    eval_ok = True
                     try:
-                        # NB multi-process: an exception on ONE process
-                        # desyncs the collective; the others stall at their
-                        # next step until the stall watchdog (or the
-                        # operator) restarts the job from the checkpoint —
-                        # the same recovery path as any mid-step crash.
                         vm = self._video_gen_inner(state, eval_test_ds, train=True, ckpt=step)
                         logger.info("snapshot metrics @%d: %s", step, vm)
                         for task in ("", "2", "3"):
@@ -391,10 +394,29 @@ class Runner:
                                       "w") as f:
                                 yaml.safe_dump(best, f)
                     except Exception as e:  # eval must not kill training
+                        eval_ok = False
                         logger.exception("in-training video_gen failed: %s", e)
                     finally:
                         heartbeat["t"] = time.monotonic()
                         heartbeat["suspended"] = False
+                    if n_proc > 1:
+                        # A per-process eval failure would desync every later
+                        # collective (the survivors' next train step could
+                        # silently pair with a wedged process's island
+                        # collective). Agree on ok/fail NOW — unanimous ok
+                        # continues training; any failure aborts ALL
+                        # processes so the restart loop resumes them
+                        # together from the checkpoint. (Un-suspending the
+                        # watchdog above bounds this sync: a peer wedged
+                        # mid-collective never votes, and the stall timeout
+                        # converts the wait into a clean restart.)
+                        from ..parallel.mesh import all_processes_true
+
+                        if not all_processes_true(eval_ok):
+                            raise RuntimeError(
+                                "in-training eval failed on at least one "
+                                "process; aborting all processes for a "
+                                "collective restart from the checkpoint")
         # disarm the watchdog for good: the loop is over, and anything that
         # legitimately outlives it (final collective checkpoint save, a
         # caller chaining test()/video_gen() on this Runner) must not be
@@ -471,7 +493,7 @@ class Runner:
             jax.random.PRNGKey(getattr(self.args, "seed", 0) + ckpt),
             ckpt=ckpt, max_data_iter=max_data_iter, preds_per_test=preds_per_test,
             train=train, lpips_fn=lpips_fn, i3d_embedder=i3d_embedder,
-            block_sampler=self._mp_block_sampler(params),
+            block_sampler=self._mp_block_sampler(),
         )
 
     def _enable_eval_kernels(self):
@@ -483,12 +505,13 @@ class Runner:
 
         ops.set_use_pallas(False)
 
-    def _mp_block_sampler(self, params, ensemble: bool = False):
+    def _mp_block_sampler(self, ensemble: bool = False):
         """Multi-process eval sampler: every process runs the identical
         host-side harness over the FULL eval split; only the jitted
         reverse-diffusion block is a cross-process SPMD program (see
-        parallel.mesh.wrap_block_collective). Returns None single-process
-        (callers fall back to the local jit)."""
+        parallel.mesh.wrap_block_collective). Params are passed at call
+        time, not baked in. Returns None single-process (callers fall back
+        to the local jit)."""
         if jax.process_count() == 1:
             return None
         if not hasattr(self, "_mp_block_jits"):
@@ -534,7 +557,7 @@ class Runner:
                 pred=unfold(pred), real=unfold(real), cond=unfold(cond),
             )
 
-        mp_block = self._mp_block_sampler(params)
+        mp_block = self._mp_block_sampler()
         vm = run_video_gen(
             config, self.model, params, self.sched, iter(loader),
             jax.random.PRNGKey(getattr(args, "seed", 0)),
@@ -620,7 +643,7 @@ class Runner:
             num_frames_pred=config.data.num_frames,
             prob_mask_cond=0.0, prob_mask_future=0.0, conditional=conditional,
         )
-        block = (self._mp_block_sampler(params)
+        block = (self._mp_block_sampler()
                  or make_block_sampler(config, self.model, self.sched))
         key = jax.random.PRNGKey(getattr(args, "seed", 0))
         shape = real.shape
@@ -655,9 +678,14 @@ class Runner:
         conditional = config.data.num_frames_cond > 0
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
+        # drop_last: a ragged final batch each epoch would mismatch the
+        # always-full-bs `init` (and, multi-process, break the P('data')
+        # device placement) — the loader's fail-fast guard covers the
+        # zero-batch case
         data_iter = iter(DataLoader(test_ds, batch_size=bs, shuffle=True,
-                                    seed=getattr(args, "seed", 0), repeat=True))
-        block = (self._mp_block_sampler(params)
+                                    seed=getattr(args, "seed", 0), repeat=True,
+                                    drop_last=True))
+        block = (self._mp_block_sampler()
                  or make_block_sampler(config, self.model, self.sched))
         out_dir = getattr(args, "image_folder", args.log_path)
         os.makedirs(out_dir, exist_ok=True)
@@ -791,7 +819,11 @@ class Runner:
                             shuffle=False, drop_last=True,
                             num_processes=n_proc,
                             process_index=jax.process_index())
-        eval_fn = make_eval_loss_step(self.model, self.sched, config, mesh=self.mesh)
+        from ..parallel.mesh import lockstep
+
+        eval_fn = lockstep(
+            make_eval_loss_step(self.model, self.sched, config, mesh=self.mesh),
+            "test_eval_loss")
         sharding = data_sharding(self.mesh)
         max_batches = getattr(config.test, "max_batches", None)
         # strided sharding (idx[p::P]) gives some processes one extra item;
@@ -886,12 +918,18 @@ class Runner:
 
         # real features: precomputed (--feats_dir, reference fid_PR.py
         # feats-path registry) or embedded from the test split and cached
+        from ..parallel.mesh import all_processes_true
+
         feat_r = None
         ds_name = getattr(config.data, "dataset", "data")
         feats_dir = getattr(args, "feats_dir", None)
         if feats_dir:
             p = os.path.join(feats_dir, f"{ds_name}_feats.npy")
-            if os.path.isfile(p):
+            # the branch must be COLLECTIVE: on non-shared disks only some
+            # processes may see the file, and a per-process branch would
+            # silently diverge feat_r (breaking the identical-harness
+            # invariant) — load only if every process can
+            if all_processes_true(os.path.isfile(p)):
                 feat_r = np.load(p)
                 logger.info("loaded real features from %s", p)
         if feat_r is None:
@@ -948,13 +986,20 @@ class Runner:
                 params = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
                 tag = f"{tag}_ens{len(trees)}"
             feats_cache = os.path.join(cache_dir, f"feats_{tag}.npy")
-            if os.path.isfile(feats_cache):
+            # collective cache decision: only process 0 writes the cache, so
+            # on non-shared disks a per-process isfile() branch would have
+            # process 0 skip the sampling loop while the others enter the
+            # collective sampler — desync, hang, watchdog crash-loop. Enter
+            # the cache path only when EVERY process has the file.
+            if all_processes_true(os.path.isfile(feats_cache)):
                 feat_g = np.load(feats_cache)
             else:
                 samples = []
                 key = jax.random.PRNGKey(getattr(args, "seed", 0))
+                # drop_last: a ragged final batch would break the collective
+                # sampler's fixed P('data') batch shape
                 loader2 = iter(DataLoader(test_ds, batch_size=bs, shuffle=False,
-                                          repeat=True))
+                                          repeat=True, drop_last=True))
                 while sum(len(x) for x in samples) < num_samples:
                     X, _ = next(loader2)
                     Xt = data_transform(config, jnp.asarray(X))

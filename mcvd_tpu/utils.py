@@ -56,7 +56,26 @@ def maybe_init_distributed() -> bool:
         kw["num_processes"] = int(os.environ["MCVD_NUM_PROCESSES"])
     if os.environ.get("MCVD_PROCESS_ID"):
         kw["process_id"] = int(os.environ["MCVD_PROCESS_ID"])
-    jax.distributed.initialize(**kw)
+    # Compile-skew hardening knobs (README "Multi-host"): processes can
+    # arrive at init/exit minutes apart when their compile caches are
+    # asymmetric, so the default timeouts are sized for the worst observed
+    # compile (20-500s on axon, CLAUDE.md). The per-collective-program
+    # rendezvous hazard is handled separately by parallel.mesh.lockstep.
+    kw["initialization_timeout"] = int(
+        os.environ.get("MCVD_DIST_INIT_TIMEOUT", "300"))
+    kw["shutdown_timeout_seconds"] = int(
+        os.environ.get("MCVD_DIST_SHUTDOWN_TIMEOUT", "900"))
+    if os.environ.get("MCVD_DIST_HEARTBEAT_TIMEOUT"):
+        kw["heartbeat_timeout_seconds"] = int(
+            os.environ["MCVD_DIST_HEARTBEAT_TIMEOUT"])
+    try:
+        jax.distributed.initialize(**kw)
+    except TypeError:
+        # older jax without the timeout kwargs
+        for k in ("initialization_timeout", "shutdown_timeout_seconds",
+                  "heartbeat_timeout_seconds"):
+            kw.pop(k, None)
+        jax.distributed.initialize(**kw)
     return True
 
 

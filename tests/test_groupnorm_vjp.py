@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from mcvd_tpu.models.layers import group_norm, num_groups_for
-from mcvd_tpu.ops.groupnorm import fused_group_norm
+from mcvd_tpu.ops.lab.groupnorm import fused_group_norm
 
 
 def ref_fn(x, gamma, beta, scale, shift, G, N, act):

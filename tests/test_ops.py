@@ -9,9 +9,9 @@ import pytest
 
 from mcvd_tpu.models.layers import group_norm, num_groups_for
 from mcvd_tpu.models.resample import setup_kernel, upfirdn2d
-from mcvd_tpu.ops.attention import attention_reference, fused_attention
+from mcvd_tpu.ops.lab.attention import attention_reference, fused_attention
 from mcvd_tpu.ops.fused_act import fused_leaky_relu, fused_leaky_relu_reference
-from mcvd_tpu.ops.groupnorm import fused_group_norm
+from mcvd_tpu.ops.lab.groupnorm import fused_group_norm
 from mcvd_tpu.ops.upfirdn import upfirdn2d_up2, upsample_2d_fast
 
 
@@ -58,7 +58,7 @@ def test_fused_attention_matches_reference():
 
 
 def test_fused_attention_packed_matches_reference():
-    from mcvd_tpu.ops.attention import _packed_reference, fused_attention_packed
+    from mcvd_tpu.ops.lab.attention import _packed_reference, fused_attention_packed
 
     rng = np.random.RandomState(3)
     for B, T, C, h in [(2, 64, 32, 2), (1, 300, 48, 3), (2, 64, 64, 4)]:
@@ -116,7 +116,7 @@ def test_upsample_2d_fast_matches_model_path():
 
 def test_fused_group_norm_tiled_large_blocks():
     """Two-pass tiled path for blocks beyond the single-pass VMEM budget."""
-    import mcvd_tpu.ops.groupnorm as G
+    import mcvd_tpu.ops.lab.groupnorm as G
 
     rng = np.random.RandomState(7)
     B, H, W, C = 2, 16, 16, 32
@@ -176,7 +176,7 @@ def test_winograd_conv3x3_matches_lax():
     """Winograd F(2,3) (ops/winograd.py) vs lax.conv SAME/stride-1 across
     shapes and dtypes; also through the model's _Conv2dMaybeWinograd flag."""
     from mcvd_tpu import ops as ops_pkg
-    from mcvd_tpu.ops.winograd import conv3x3_winograd
+    from mcvd_tpu.ops.lab.winograd import conv3x3_winograd
 
     rng = np.random.RandomState(11)
     for B, H, W, Ci, Co in [(2, 8, 8, 5, 7), (1, 16, 12, 16, 16), (3, 4, 6, 3, 2)]:

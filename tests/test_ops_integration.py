@@ -18,7 +18,7 @@ def test_attnblock_pallas_matches_xla():
         # interpret mode on CPU: pallas_call(interpret=...) is controlled by
         # the kernel arg; on CPU tests the compiled path lowers via interpret
         # automatically only if requested, so monkeypatch to interpret.
-        import mcvd_tpu.ops.attention as A
+        import mcvd_tpu.ops.lab.attention as A
 
         orig = A.fused_attention
 
@@ -43,7 +43,7 @@ def test_actnorm_adagn_pallas_matches_xla():
     params = jax.jit(an.init)(jax.random.PRNGKey(0), x, emb)
     ref = jax.jit(an.apply)(params, x, emb)
 
-    import mcvd_tpu.ops.groupnorm as G
+    import mcvd_tpu.ops.lab.groupnorm as G
 
     orig = G.fused_group_norm
 
@@ -71,7 +71,7 @@ def test_actnorm_adagn_pallas_matches_xla_3d():
     params = jax.jit(an.init)(jax.random.PRNGKey(0), x, emb)
     ref = jax.jit(an.apply)(params, x, emb)
 
-    import mcvd_tpu.ops.groupnorm as G
+    import mcvd_tpu.ops.lab.groupnorm as G
 
     orig = G.fused_group_norm
 

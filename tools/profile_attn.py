@@ -16,7 +16,7 @@ setup_jax()
 import jax
 import jax.numpy as jnp
 
-from mcvd_tpu.ops.attention import (attention_reference, fused_attention,
+from mcvd_tpu.ops.lab.attention import (attention_reference, fused_attention,
                                     fused_attention_packed, _packed_reference)
 
 

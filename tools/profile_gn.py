@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcvd_tpu.models.layers import group_norm as xla_group_norm
-from mcvd_tpu.ops.groupnorm import fused_group_norm
+from mcvd_tpu.ops.lab.groupnorm import fused_group_norm
 
 N = 30
 K1, K2 = 1, 5

@@ -22,7 +22,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mcvd_tpu.ops.groupnorm import _group_matrix, fused_group_norm
+from mcvd_tpu.ops.lab.groupnorm import _group_matrix, fused_group_norm
 
 N = 30
 K1, K2 = 1, 5
