@@ -81,7 +81,11 @@ def host_value(a) -> np.ndarray:
     if isinstance(a, jax.Array) and not a.is_fully_addressable:
         from jax.experimental import multihost_utils
 
-        return np.asarray(multihost_utils.process_allgather(a))
+        # tiled=True is REQUIRED for global arrays (multihost_utils raises
+        # on tiled=False); for the non-fully-addressable case it returns
+        # the full global value (replicate-and-fetch), NOT a concatenation,
+        # so the shape is unchanged — exactly this function's contract.
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
     return np.asarray(a)
 
 
@@ -106,6 +110,51 @@ def coord_barrier(name: str, timeout_s: Optional[float] = None) -> None:
     if timeout_s is None:
         timeout_s = float(os.environ.get("MCVD_BARRIER_TIMEOUT", "900"))
     client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
+def prime_collectives(timeout_s: Optional[float] = None) -> None:
+    """Create the all-devices cross-process communicator clique ONCE, at
+    startup, with every process barrier-aligned.
+
+    XLA:CPU caches gloo contexts PER CLIQUE (set of participating devices),
+    not per compiled program — verified by a 2-process probe (r4): after one
+    aligned allgather, a *different* collective program survived a 45s
+    one-sided skew (the early process just blocked inside the collective;
+    only context INITIALIZATION has the ~30s KV rendezvous deadline). So one
+    aligned priming collective protects every later collective whose first
+    execution we cannot barrier ourselves — most importantly orbax's
+    internal sync_global_processes during save/restore (the r4 cold-cache
+    failure: checkpointer.restore -> sync_global_devices ->
+    process_allgather -> "Gloo context initialization failed:
+    DEADLINE_EXCEEDED", tests/test_multihost_main.py --test phase).
+
+    The priming program itself is made skew-proof the lockstep way:
+    AOT-compile (unbounded), coordination-service barrier (gRPC,
+    MCVD_BARRIER_TIMEOUT), then execute. No-op single-process; on real TPU
+    pods this also warms the ICI path."""
+    if jax.process_count() == 1:
+        return
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs), ("all",))
+    in_sharding = NamedSharding(mesh, P("all"))
+    out_sharding = NamedSharding(mesh, P())
+    n = len(devs)
+    host = np.ones((n,), np.float32)
+    x = jax.make_array_from_callback((n,), in_sharding, lambda idx: host[idx])
+    f = jax.jit(lambda a: a + 0.0, out_shardings=out_sharding)
+    compiled = f.lower(x).compile()
+    coord_barrier("mcvd:prime_collectives", timeout_s)
+    np.asarray(compiled(x).addressable_data(0))
+    # Second clique: host-value process_allgather (multihost_utils builds a
+    # (processes, local_devices) mesh with the value sharded over
+    # 'processes', so GSPMD gathers via ONE-device-per-process subgroups —
+    # e.g. gloo key "0,2048" with 2 procs x 2 devices). That is the exact
+    # clique orbax's sync_global_processes needs at restore time (the r4
+    # cold-cache failure). Still aligned from the barrier above (this tiny
+    # program compiles in well under the 30s rendezvous window).
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("mcvd:prime_collectives")
 
 
 def lockstep(fn, name: str, timeout_s: Optional[float] = None):
@@ -170,6 +219,9 @@ def lockstep(fn, name: str, timeout_s: Optional[float] = None):
     return wrapped
 
 
+_APT_SEQ = [0]
+
+
 def all_processes_true(flag) -> bool:
     """Collective AND of a per-process host-side predicate.
 
@@ -177,13 +229,31 @@ def all_processes_true(flag) -> bool:
     IDENTICAL across processes: on non-shared disks only some processes may
     see a file, and branching per-process would desync the subsequent
     collectives (hang / silent mispairing). Every process must call this at
-    the same host-code point."""
+    the same host-code point — which is what makes the module-level call
+    counter a valid key namespace.
+
+    Implemented over the COORDINATION-SERVICE KV store (gRPC, long
+    timeouts), not a device collective: a per-process predicate must never
+    itself be able to hit the gloo context-init deadline it exists to
+    prevent."""
     if jax.process_count() == 1:
         return bool(flag)
-    from jax.experimental import multihost_utils
+    import os
 
-    votes = multihost_utils.process_allgather(np.asarray(bool(flag), np.int32))
-    return bool(np.min(votes))
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return bool(flag)
+    timeout_ms = int(float(os.environ.get("MCVD_BARRIER_TIMEOUT", "900")) * 1000)
+    seq = _APT_SEQ[0]
+    _APT_SEQ[0] += 1
+    key = f"mcvd:apt:{seq}"
+    client.key_value_set(f"{key}/{jax.process_index()}", str(int(bool(flag))))
+    client.wait_at_barrier(f"{key}:votes_in", timeout_in_ms=timeout_ms)
+    return all(
+        client.blocking_key_value_get(f"{key}/{i}", timeout_ms) == "1"
+        for i in range(jax.process_count()))
 
 
 def wrap_block_collective(block, mesh: Mesh):

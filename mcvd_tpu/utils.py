@@ -5,20 +5,45 @@ from __future__ import annotations
 import os
 
 
+def cpu_fingerprint() -> str:
+    """Short hash of the host's CPU feature flags — cache-key component for
+    XLA:CPU persistent compile caches (machine-specific AOT code must not be
+    reused across VM generations with different features: SIGILL)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "generic"
+
+
 def setup_jax(cache_dir: str | None = None, enable_cache: bool = True) -> None:
     """Enable the persistent compilation cache (the axon TPU tunnel's compile
     latency is highly variable — 20s to 500s for identical programs — so
     on-disk caching matters a lot) and other global knobs."""
     import jax
 
-    if os.environ.get("MCVD_FORCE_CPU"):
+    force_cpu = bool(os.environ.get("MCVD_FORCE_CPU"))
+    if force_cpu:
         # The JAX_PLATFORMS env var alone does not win over a preset PJRT
         # plugin platform (CLAUDE.md); the config update does. Used by the
         # multi-process CPU tests to drive main.py end-to-end off-TPU.
         jax.config.update("jax_platforms", "cpu")
     if enable_cache:
-        cache_dir = (cache_dir or os.environ.get("MCVD_CACHE_DIR")
-                     or os.path.expanduser("~/.cache/jax_comp"))
+        cache_dir = cache_dir or os.environ.get("MCVD_CACHE_DIR")
+        if not cache_dir:
+            cache_dir = os.path.expanduser("~/.cache/jax_comp")
+            if force_cpu or os.environ.get("JAX_PLATFORMS", "") == "cpu":
+                # XLA:CPU caches machine-specific AOT code, and the home dir
+                # outlives VM generations with different CPU features —
+                # executing a stale blob is a SIGILL/SIGSEGV. Key the
+                # default CPU cache by the host's CPU-feature fingerprint.
+                # (TPU executables are device code — safely shareable.)
+                cache_dir += f"_cpu_{cpu_fingerprint()}"
         os.makedirs(cache_dir, exist_ok=True)
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -76,6 +101,13 @@ def maybe_init_distributed() -> bool:
                   "heartbeat_timeout_seconds"):
             kw.pop(k, None)
         jax.distributed.initialize(**kw)
+    # Create the all-devices communicator clique while processes are still
+    # aligned at startup; later collectives (incl. orbax's internal
+    # save/restore barriers, which lockstep cannot wrap) then reuse the
+    # cached context instead of racing its ~30s init rendezvous.
+    from .parallel.mesh import prime_collectives
+
+    prime_collectives()
     return True
 
 

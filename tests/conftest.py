@@ -24,8 +24,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the suite is compile-dominated on the single
-# host CPU; cached runs are several times faster.
-_cache = os.path.expanduser("~/.cache/jax_comp_tests")
+# host CPU; cached runs are several times faster. Keyed by CPU-feature
+# fingerprint: XLA:CPU AOT blobs are machine-specific, and this home dir
+# outlives VM generations with differing features (stale reuse = SIGILL).
+from mcvd_tpu.utils import cpu_fingerprint  # noqa: E402
+
+_cache = os.path.expanduser(f"~/.cache/jax_comp_tests_{cpu_fingerprint()}")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

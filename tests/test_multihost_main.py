@@ -35,7 +35,14 @@ def _free_port() -> int:
 # caches are SAFE since r4: every collective program is AOT-compiled and
 # barriered before its first execution (parallel.mesh.lockstep), so this
 # cache is purely a speed knob — see test_asymmetric_compile_cache.
-MP_CACHE = os.path.expanduser("~/.cache/jax_comp_tests_mp")
+# The cache key includes a CPU-feature fingerprint: XLA:CPU serializes
+# machine-specific AOT code, and this home dir outlives VM generations with
+# differing CPU features — reusing a stale blob is a SIGILL/SIGSEGV (seen
+# r4: "Machine type used for XLA:CPU compilation doesn't match ... could
+# lead to execution errors such as SIGILL").
+from mcvd_tpu.utils import cpu_fingerprint
+
+MP_CACHE = os.path.expanduser(f"~/.cache/jax_comp_tests_mp_{cpu_fingerprint()}")
 
 
 def _launch_two(cfg_path, tmp_path, mode_flag, extra_args=(),
@@ -51,6 +58,9 @@ def _launch_two(cfg_path, tmp_path, mode_flag, extra_args=(),
         if per_proc_env and pid in per_proc_env:
             env.update(per_proc_env[pid])
         env.update({
+            # segfault backtraces in the captured output (a silent rc=-11
+            # with empty stdout is undebuggable otherwise)
+            "PYTHONFAULTHANDLER": "1",
             "MCVD_DIST": "1",
             "MCVD_COORDINATOR": f"localhost:{port}",
             "MCVD_NUM_PROCESSES": "2",
