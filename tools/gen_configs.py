@@ -189,6 +189,15 @@ CONFIGS = {
         "model": {"ngf": 128, "ch_mult": [1, 2, 2, 2], "n_head_channels": 64,
                   "conditional": False},
     },
+    # Smaller 128px cityscapes video config (reference: configs/cityscapes.yml
+    # — cityscapes_big with ngf 32, 2 pred frames, batch 32)
+    "cityscapes": deep_update(copy.deepcopy(BIG), {
+        "training": {"batch_size": 32, "wire_dtype": "uint8"},
+        "data": {"dataset": "Cityscapes", "image_size": 128, "channels": 3,
+                 "color_jitter": 0.0, "num_frames": 2, "num_frames_cond": 2},
+        "model": {"dropout": 0.0, "ngf": 32, "ch_mult": [1, 2, 2, 2],
+                  "num_res_blocks": 3, "n_head_channels": 64},
+    }),
     # The actual legacy arch the reference's configs/cifar10.yml:68 names but
     # cannot build (models/ncsnv2.py here; published NCSNv2 SMLD recipe:
     # geometric sigmas 50->0.01, 232 levels, 5-step Langevin @ 6.2e-6).
@@ -207,6 +216,58 @@ CONFIGS = {
                   "conditional": False, "ema": True, "ema_rate": 0.999},
     },
 }
+
+
+def _img_smld(dataset, image_size, sigma_begin, num_classes, step_lr,
+              n_steps_each, n_iters, batch_size, sampling_bs, **extra):
+    """NCSNv2 SMLD image configs (reference: configs/{bedroom,church,tower,
+    ffhq}.yml — the ermongroup/ncsnv2 recipes the repo carries; served here
+    as T=1 single-frame video through arch ncsnv2/models/ncsnv2.py, which
+    size-dispatches NCSNv2 (<96px) / Deeper (>=96) / Deepest (>=256) like
+    the reference's `depth` field implies). The reference's `num_frames_cond:
+    5` in tower.yml is a copy-paste vestige of the video grid (the model is
+    unconditional, model.conditional: false) — normalized to 0 here."""
+    d = {
+        "training": {"batch_size": batch_size, "n_iters": n_iters,
+                     "val_freq": 100},
+        "sampling": {"batch_size": sampling_bs, "num_frames_pred": 1,
+                     "fvd": False, "ssim": False, "fid": True,
+                     "n_steps_each": n_steps_each, "step_lr": step_lr,
+                     "final_only": True, "denoise": True,
+                     "n_interpolations": 10, "consistent": False},
+        "fast_fid": {"batch_size": 1000, "num_samples": 1000,
+                     "step_lr": step_lr, "n_steps_each": n_steps_each,
+                     "begin_ckpt": 100000, "end_ckpt": n_iters - 1},
+        "test": {"begin_ckpt": 5000, "end_ckpt": n_iters - 1,
+                 "batch_size": 100},
+        "data": {"dataset": dataset, "image_size": image_size, "channels": 3,
+                 "rescaled": False, "num_frames": 1, "num_frames_cond": 0,
+                 "num_digits": None, "step_length": None},
+        "model": {"arch": "ncsnv2", "version": "SMLD",
+                  "sigma_dist": "geometric", "sigma_begin": sigma_begin,
+                  "sigma_end": 0.01, "num_classes": num_classes, "ngf": 128,
+                  "ch_mult": [1, 2, 2, 2], "num_res_blocks": 1,
+                  "nonlinearity": "elu", "normalization": "InstanceNorm++",
+                  "conditional": False, "ema": True, "ema_rate": 0.999},
+        "optim": {"lr": 0.0001, "warmup": 0},
+    }
+    return deep_update(d, extra)
+
+
+CONFIGS.update({
+    # LSUN scenes (reference: configs/{bedroom,church,tower}.yml; data via
+    # the pure-python LMDB reader, data/lmdb_io.py)
+    "bedroom": _img_smld("LSUN", 128, 190.0, 1086, 1.8e-6, 3, 150001, 128, 36,
+                         data={"category": "bedroom"}),
+    "church": _img_smld("LSUN", 64, 140.0, 788, 4.9e-6, 4, 200001, 128, 96,
+                        data={"category": "church_outdoor"}),
+    "tower": _img_smld("LSUN", 128, 190.0, 1086, 1.8e-6, 3, 150001, 128, 36,
+                       data={"category": "tower"}),
+    # FFHQ 256 (reference: configs/ffhq.yml — depth deepest, Adam eps 1e-3)
+    "ffhq": _img_smld("FFHQ", 256, 348.0, 2311, 9e-7, 3, 80001, 32, 36,
+                      data={"num_workers": 8},
+                      optim={"eps": 0.001}),
+})
 
 
 def main():
