@@ -44,6 +44,34 @@ def log(msg: str) -> None:
 # ---------------------------------------------------------------------------
 
 
+def big_worker() -> None:
+    """Secondary driver-visible measurement (VERDICT r3 next #9): the
+    cityscapes_big (128px, ngf=128) eval path — the framework's best MFU
+    evidence (BENCH_NOTES.md big-config table) — as a machine-captured line.
+    Prints BIG_JSON with frames/s + MFU; methodology = tools/bench_big.py
+    time_eval (bf16, B=8, 30-eval lax.scan)."""
+    from mcvd_tpu.utils import setup_jax
+
+    setup_jax()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.bench_big import load_config, time_eval
+
+    config = load_config("cityscapes_big")
+    B = 8
+    sub = int(getattr(config.sampling, "subsample", 100) or 100)
+    F = config.data.num_frames
+    t0 = time.time()
+    e = time_eval(config, B, reps=2)
+    log(f"phase=big_eval ms={e['ms']:.2f} mfu={e['mfu']:.3f} dt={time.time()-t0:.0f}s")
+    payload = {
+        "config": "cityscapes_big (128px ngf=128, bf16 eval)",
+        "frames_per_s": round(B * F / (e["ms"] / 1e3 * (sub + 1)), 2),
+        "mfu": round(e["mfu"], 3),
+        "ms_per_eval": round(e["ms"], 2),
+    }
+    print(f"BIG_JSON: {json.dumps(payload)}", flush=True)
+
+
 def worker(batch_size: int) -> None:
     from mcvd_tpu.utils import setup_jax
 
@@ -197,6 +225,35 @@ def _write_last_good(result: dict) -> None:
         log(f"could not persist last-good result: {e}")
 
 
+def run_big(deadline: float) -> dict | None:
+    """Run the big-config measurement in a fresh worker process, bounded by
+    the remaining budget. Returns the BIG_JSON payload or None. Never raises:
+    the big line is an enrichment — it must not endanger the headline."""
+    remaining = deadline - time.time()
+    if remaining < 120:
+        log(f"big: skipped ({remaining:.0f}s budget left)")
+        return None
+    this_timeout = min(720.0, remaining)
+    log(f"big: attempt timeout={this_timeout:.0f}s")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--big-worker"],
+            capture_output=True,
+            text=True,
+            timeout=this_timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        sys.stderr.write(proc.stderr)
+        sys.stderr.flush()
+        return parse_tagged(proc.stdout.splitlines(), "BIG_JSON")
+    except subprocess.TimeoutExpired:
+        log("big: timed out")
+        return None
+    except Exception as e:  # noqa: BLE001 — enrichment only, never fatal
+        log(f"big: failed ({e})")
+        return None
+
+
 def main() -> None:
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     budget_s = float(os.environ.get("MCVD_BENCH_BUDGET_S", "3000"))
@@ -229,6 +286,13 @@ def main() -> None:
             ):
                 best_partial = partial
             if proc.returncode == 0 and result is not None:
+                big = run_big(deadline)
+                if big is None:
+                    lg = _read_last_good()
+                    if lg and lg.get("big"):
+                        big = {**lg["big"], "stale_from": lg.get("captured_at")}
+                if big is not None:
+                    result["big"] = big
                 _write_last_good(result)
                 print(json.dumps(result), flush=True)
                 return
@@ -278,7 +342,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--worker" in sys.argv:
+    if "--big-worker" in sys.argv:
+        big_worker()
+    elif "--worker" in sys.argv:
         worker(int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 16)
     else:
         main()

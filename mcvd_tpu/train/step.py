@@ -23,6 +23,33 @@ from ..parallel.mesh import batch_sharding, has_tensor_axis
 from .state import TrainState, make_optimizer
 
 
+def _as_impl_key(key, config):
+    """Convert the incoming (threefry) step key to the configured PRNG impl
+    INSIDE the jitted program, so all host-side plumbing (seeds, splits,
+    checkpoints) stays impl-agnostic.
+
+    training.rng_impl = "rbg" (default) uses the XLA RngBitGenerator: on TPU
+    threefry bit-gen is a long VPU op chain and the per-step dropout masks +
+    noise draws cost ~18% of the kth64_big train step (tools/train_ablate.py:
+    22.6 -> 19.1 ms/step with rbg). Trade-off, documented: rbg streams are
+    backend-dependent (CPU vs TPU draws differ) and rbg split derivation is
+    statistically — not cryptographically — independent; training/eval-noise
+    draws need neither property. "threefry" restores the backend-invariant
+    default-impl stream.
+    """
+    impl = getattr(getattr(config, "training", None), "rng_impl", "rbg")
+    if impl in ("rbg", "unsafe_rbg"):
+        import jax.numpy as jnp
+
+        data = key if jnp.issubdtype(key.dtype, jnp.uint32) else (
+            jax.random.key_data(key))
+        # threefry key data is 2x uint32; rbg wants 4x — duplicating the 64
+        # seed bits preserves the full entropy
+        return jax.random.wrap_key_data(
+            jnp.concatenate([data, data])[:4], impl=impl)
+    return key
+
+
 def _loss_for_batch(model, sched: DiffusionSchedule, config, params, X, key,
                     train: bool):
     """Shared loss computation for train/eval steps. X: (B,T,H,W,C) raw [0,1].
@@ -35,6 +62,7 @@ def _loss_for_batch(model, sched: DiffusionSchedule, config, params, X, key,
     """
     import jax.numpy as jnp
 
+    key = _as_impl_key(key, config)
     k_deq, k_mask, k_loss, k_drop, k_cond = jax.random.split(key, 5)
     # X may arrive in a reduced wire dtype (training.wire_dtype=float16 or
     # uint8): the host->device tunnel runs at ~65MB/s, so fewer bytes =

@@ -200,6 +200,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--no-shootout", action="store_true")
     ap.add_argument("--no-train", action="store_true")
+    ap.add_argument("--no-eval", action="store_true")
+    ap.add_argument("--train-dtypes", nargs="*", default=["bfloat16", "float32"])
     args = ap.parse_args()
 
     log(f"# backend={jax.default_backend()} eval B={args.eval_batch} "
@@ -210,15 +212,16 @@ def main():
         sub = int(getattr(config.sampling, "subsample", 100) or 100)
         F = config.data.num_frames
         res = {}
-        e = time_eval(config, args.eval_batch, reps=args.reps)
-        # frames/s/chip at the config's subsample: one block of F frames
-        # costs (subsample+1) evals
-        fps = args.eval_batch * F / (e["ms"] / 1e3 * (sub + 1))
-        res["eval"] = {**e, "frames_per_s": fps}
-        log(f"{name:20s} eval  bf16 XLA   : {e['ms']:8.2f} ms/eval  "
-            f"MFU {e['mfu']*100:5.1f}%  -> {fps:6.1f} f/s @{sub}-step  "
-            f"(compile {e['compile_s']:.0f}s)")
-        if not args.no_shootout:
+        if not args.no_eval:
+            e = time_eval(config, args.eval_batch, reps=args.reps)
+            # frames/s/chip at the config's subsample: one block of F frames
+            # costs (subsample+1) evals
+            fps = args.eval_batch * F / (e["ms"] / 1e3 * (sub + 1))
+            res["eval"] = {**e, "frames_per_s": fps}
+            log(f"{name:20s} eval  bf16 XLA   : {e['ms']:8.2f} ms/eval  "
+                f"MFU {e['mfu']*100:5.1f}%  -> {fps:6.1f} f/s @{sub}-step  "
+                f"(compile {e['compile_s']:.0f}s)")
+        if not args.no_shootout and not args.no_eval:
             for kinds, tag in ((("groupnorm",), "pallas GN"),
                                (("attention",), "pallas attn"),
                                (("winograd",), "winograd")):
@@ -231,7 +234,7 @@ def main():
                 except Exception as ex:
                     log(f"{name:20s} eval  {tag:10s}: FAILED ({ex})")
         if not args.no_train:
-            for cd in ("bfloat16", "float32"):
+            for cd in args.train_dtypes:
                 try:
                     t = time_train(config, args.train_batch, compute_dtype=cd,
                                    reps=args.reps)
