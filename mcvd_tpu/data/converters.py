@@ -107,10 +107,12 @@ def bair_convert(bair_dir: str, out_dir: str, split: str = "train",
 
     out = os.path.join(out_dir, split)
     maker = HDF5Maker(out, num_per_shard=vids_per_shard, force=force, video=True)
-    records = sorted(
+    # set(): the patterns overlap ('*.tfrecord*' already matches '.tfrecords');
+    # without dedup every real BAIR file would be ingested twice
+    records = sorted(set(
         glob.glob(os.path.join(bair_dir, split, "*.tfrecord*"))
         + glob.glob(os.path.join(bair_dir, split, "*.tfrecords"))
-    )
+    ))
     assert records, f"no tfrecords under {bair_dir}/{split}"
     count = 0
     for rec in records:

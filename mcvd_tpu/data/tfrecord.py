@@ -123,3 +123,79 @@ def read_tfrecord(path: str) -> Iterator[bytes]:
 def read_examples(path: str) -> Iterator[Dict[str, FeatureValue]]:
     for rec in read_tfrecord(path):
         yield parse_example(rec)
+
+
+# ---------------------------------------------------------------------------
+# Writer — emits records a real TensorFlow reader accepts (CRC-verified
+# framing), used by the synthetic-BAIR generator and the converter tests.
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78), table-driven."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    """TFRecord's masked CRC: rot-right-15 then add a constant (mod 2^32)."""
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Length-delimited protobuf field."""
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def encode_example(features: Dict[str, FeatureValue]) -> bytes:
+    """Encode a tf.Example proto (inverse of parse_example)."""
+    entries = b""
+    for key, val in features.items():
+        if val and isinstance(val[0], bytes):
+            feat = _ld(1, b"".join(_ld(1, v) for v in val))  # BytesList
+        elif val and isinstance(val[0], float):
+            packed = struct.pack(f"<{len(val)}f", *val)
+            feat = _ld(2, _ld(1, packed))  # FloatList, packed
+        else:
+            packed = b"".join(_varint(int(v)) for v in val)
+            feat = _ld(3, _ld(1, packed))  # Int64List, packed
+        entries += _ld(1, _ld(1, key.encode("utf-8")) + _ld(2, feat))
+    return _ld(1, entries)
+
+
+def write_tfrecord(path: str, payloads) -> None:
+    """Write raw payloads with full TFRecord framing (masked CRC32C)."""
+    with open(path, "wb") as f:
+        for p in payloads:
+            header = struct.pack("<Q", len(p))
+            f.write(header)
+            f.write(struct.pack("<I", _masked_crc(header)))
+            f.write(p)
+            f.write(struct.pack("<I", _masked_crc(p)))
+
+
+def write_examples(path: str, examples) -> None:
+    write_tfrecord(path, (encode_example(ex) for ex in examples))
