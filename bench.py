@@ -290,7 +290,12 @@ def main() -> None:
                 if big is None:
                     lg = _read_last_good()
                     if lg and lg.get("big"):
-                        big = {**lg["big"], "stale_from": lg.get("captured_at")}
+                        # preserve an existing stale_from: the measurement's
+                        # age is when it was TAKEN, not the last time a
+                        # failing run copied it forward
+                        big = {**lg["big"],
+                               "stale_from": lg["big"].get("stale_from")
+                               or lg.get("captured_at")}
                 if big is not None:
                     result["big"] = big
                 _write_last_good(result)

@@ -68,6 +68,10 @@ def _parse_feature(buf: bytes) -> FeatureValue:
                     out.append(struct.unpack("<f", v)[0])
             return out
         if field == 3:  # Int64List
+            def _signed(x: int) -> int:
+                # negative int64 arrives as 10-byte two's-complement varint
+                return x - (1 << 64) if x >= (1 << 63) else x
+
             out_i: List[int] = []
             for f, w, v in _fields(val):
                 if f != 1:
@@ -76,9 +80,9 @@ def _parse_feature(buf: bytes) -> FeatureValue:
                     pos = 0
                     while pos < len(v):
                         x, pos = _read_varint(v, pos)
-                        out_i.append(x)
+                        out_i.append(_signed(x))
                 else:
-                    out_i.append(v)
+                    out_i.append(_signed(v))
             return out_i
     return []
 
@@ -156,6 +160,9 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    # protobuf encodes negative int64 as 10-byte two's complement; mask to
+    # 64 bits first (Python's arithmetic shift would loop forever on n<0)
+    n &= 0xFFFFFFFFFFFFFFFF
     out = b""
     while True:
         b7 = n & 0x7F
@@ -172,12 +179,14 @@ def _ld(field: int, payload: bytes) -> bytes:
 
 def encode_example(features: Dict[str, FeatureValue]) -> bytes:
     """Encode a tf.Example proto (inverse of parse_example)."""
+    import numpy as _np
+
     entries = b""
     for key, val in features.items():
         if val and isinstance(val[0], bytes):
             feat = _ld(1, b"".join(_ld(1, v) for v in val))  # BytesList
-        elif val and isinstance(val[0], float):
-            packed = struct.pack(f"<{len(val)}f", *val)
+        elif val and isinstance(val[0], (float, _np.floating)):
+            packed = struct.pack(f"<{len(val)}f", *(float(v) for v in val))
             feat = _ld(2, _ld(1, packed))  # FloatList, packed
         else:
             packed = b"".join(_varint(int(v)) for v in val)

@@ -10,11 +10,21 @@ forward-only (eval paths).
 
 # the dormant kernels live in the bounded lab/ (see README.md decision
 # record) but keep their `ops.<kind>` attribute paths for the
-# set_use_pallas switch and the shoot-out harnesses
+# set_use_pallas switch and the shoot-out harnesses — loaded LAZILY so a
+# default (pallas-off) run never imports the lab
 from . import fused_act, upfirdn
-from .lab import attention, groupnorm, winograd
 
 _KINDS = ("attention", "groupnorm", "winograd")
+
+
+def __getattr__(name):
+    if name in _KINDS:
+        from . import lab
+
+        mod = getattr(lab, name)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 _USE: dict = {k: False for k in _KINDS}
 
 

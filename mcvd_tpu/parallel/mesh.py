@@ -210,9 +210,20 @@ def lockstep(fn, name: str, timeout_s: Optional[float] = None):
         if compiled is not None:
             try:
                 return compiled(*args)
-            except Exception:
-                # sharding/layout mismatch vs the AOT signature — fall back
-                # to the jit path (persistent cache makes it a fast reload)
+            except Exception as e:
+                # Fall back to the jit path ONLY for input-signature
+                # rejections (sharding/layout drift vs the AOT signature).
+                # Anything else is a real runtime failure: re-executing
+                # fn(*args) would run on possibly-donated (deleted) inputs
+                # and mask the original error.
+                msg = str(e).lower()
+                if not any(s in msg for s in ("layout", "sharding", "incompatible")):
+                    raise
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "lockstep[%s]: AOT-compiled call rejected its inputs "
+                    "(%s); falling back to the jit path", name, e)
                 seen[key] = None
         return fn(*args)
 
@@ -254,6 +265,35 @@ def all_processes_true(flag) -> bool:
     return all(
         client.blocking_key_value_get(f"{key}/{i}", timeout_ms) == "1"
         for i in range(jax.process_count()))
+
+
+_BCAST_SEQ = [0]
+
+
+def broadcast_from_primary(value: str) -> str:
+    """Process 0's string, delivered to every process over the
+    coordination-service KV store (same transport rationale as
+    all_processes_true). For filesystem-derived host decisions that must be
+    identical across processes but where process 0 is authoritative — e.g.
+    checkpoint listings: orbax writes on the primary host only, so on
+    non-shared disks peers may see none and would otherwise run a different
+    number of collective eval calls (hang at the next barrier)."""
+    if jax.process_count() == 1:
+        return value
+    import os
+
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return value
+    timeout_ms = int(float(os.environ.get("MCVD_BARRIER_TIMEOUT", "900")) * 1000)
+    seq = _BCAST_SEQ[0]
+    _BCAST_SEQ[0] += 1
+    key = f"mcvd:bcast:{seq}"
+    if jax.process_index() == 0:
+        client.key_value_set(key, value)
+    return client.blocking_key_value_get(key, timeout_ms)
 
 
 def wrap_block_collective(block, mesh: Mesh):

@@ -96,6 +96,26 @@ class Runner:
     def _ckpt_dir(self) -> str:
         return os.path.join(self.args.log_path)
 
+    def _agreed_ckpt_steps(self, ckpt_dir: str):
+        """Numbered-checkpoint steps, IDENTICAL across processes: orbax
+        writes on the primary host only, so on non-shared disks peers may
+        list fewer checkpoints and would run a different number of
+        collective eval calls (hang at the next barrier). Process 0's
+        listing is authoritative."""
+        import json
+
+        from ..parallel.mesh import broadcast_from_primary
+
+        steps = []
+        if os.path.isdir(ckpt_dir):
+            for d in os.listdir(ckpt_dir):
+                if d.startswith("checkpoint_"):
+                    try:
+                        steps.append(int(d.split("_")[1]))
+                    except ValueError:
+                        pass
+        return list(json.loads(broadcast_from_primary(json.dumps(sorted(steps)))))
+
     # ------------------------------------------------------------------ train
 
     def train(self):
@@ -516,13 +536,17 @@ class Runner:
             return None
         if not hasattr(self, "_mp_block_jits"):
             self._mp_block_jits = {}
-        block = self._mp_block_jits.get(ensemble)
-        if block is None:
-            # one inner jit per Runner (re-traced per snapshot otherwise)
+        # memoize the WRAPPED collective, not just the inner jit: the
+        # wrapper owns lockstep's AOT memo and the param-put memo; a fresh
+        # wrapper per snapshot would re-lower the block and re-barrier on
+        # every in-training eval
+        wrapped = self._mp_block_jits.get(ensemble)
+        if wrapped is None:
             block = make_block_sampler(self.config, self.model, self.sched,
                                        ensemble=ensemble)
-            self._mp_block_jits[ensemble] = block
-        return wrap_block_collective(block, self.mesh)
+            wrapped = wrap_block_collective(block, self.mesh)
+            self._mp_block_jits[ensemble] = wrapped
+        return wrapped
 
     def video_gen(self, ckpt: Optional[int] = None):
         args, config = self.args, self.config
@@ -839,14 +863,7 @@ class Runner:
 
         results = {}
         ckpt_dir = self._ckpt_dir()
-        steps = []
-        if os.path.isdir(ckpt_dir):
-            for d in os.listdir(ckpt_dir):
-                if d.startswith("checkpoint_"):
-                    try:
-                        steps.append(int(d.split("_")[1]))
-                    except ValueError:
-                        pass
+        steps = self._agreed_ckpt_steps(ckpt_dir)
         steps = sorted(
             s for s in steps
             if (begin_ckpt is None or s >= begin_ckpt) and (end_ckpt is None or s <= end_ckpt)
@@ -961,10 +978,7 @@ class Runner:
 
         fids = {}
         ckpt_dir = self._ckpt_dir()
-        steps = sorted(
-            int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
-            if d.startswith("checkpoint_")
-        ) or [None]
+        steps = sorted(self._agreed_ckpt_steps(ckpt_dir)) or [None]
         begin = getattr(args, "ckpt", None) or getattr(ff, "begin_ckpt", 0)
         end = getattr(args, "end_ckpt", None) or getattr(ff, "end_ckpt", 10**12)
         eligible = [s for s in steps if s is None or begin <= s <= end]

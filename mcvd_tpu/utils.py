@@ -36,14 +36,16 @@ def setup_jax(cache_dir: str | None = None, enable_cache: bool = True) -> None:
     if enable_cache:
         cache_dir = cache_dir or os.environ.get("MCVD_CACHE_DIR")
         if not cache_dir:
-            cache_dir = os.path.expanduser("~/.cache/jax_comp")
-            if force_cpu or os.environ.get("JAX_PLATFORMS", "") == "cpu":
-                # XLA:CPU caches machine-specific AOT code, and the home dir
-                # outlives VM generations with different CPU features —
-                # executing a stale blob is a SIGILL/SIGSEGV. Key the
-                # default CPU cache by the host's CPU-feature fingerprint.
-                # (TPU executables are device code — safely shareable.)
-                cache_dir += f"_cpu_{cpu_fingerprint()}"
+            # XLA:CPU caches machine-specific AOT code, and the home dir can
+            # outlive VM generations with different CPU features — executing
+            # a stale blob is a SIGILL/SIGSEGV. Key the default cache by the
+            # host's CPU-feature fingerprint UNCONDITIONALLY: the resolved
+            # backend isn't knowable here (setup_jax must run before
+            # jax.distributed.initialize, so we can't probe it), jax can
+            # fall back to CPU without any env spelling set, and TPU entries
+            # lose nothing (platform is part of the cache key).
+            cache_dir = os.path.expanduser(
+                f"~/.cache/jax_comp_{cpu_fingerprint()}")
         os.makedirs(cache_dir, exist_ok=True)
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -184,13 +184,18 @@ def test_tfrecord_writer_crc_and_roundtrip(tmp_path):
     path = str(tmp_path / "w.tfrecords")
     examples = [
         {"0/image_aux1/encoded": [b"\xff\xd8jpeg-ish"], "ids": [7, 300]},
-        {"scores": [0.5, -1.25]},
+        # negative int64 (10-byte two's-complement varint) and numpy floats
+        # (must route to FloatList, not be int()-truncated) both roundtrip
+        {"scores": [0.5, -1.25], "signed": [-1, -42, 5],
+         "np_scores": list(np.asarray([0.25, -3.5], np.float32))},
     ]
     write_examples(path, examples)
     back = list(read_examples(path))
     assert back[0]["0/image_aux1/encoded"] == [b"\xff\xd8jpeg-ish"]
     assert back[0]["ids"] == [7, 300]
     np.testing.assert_allclose(back[1]["scores"], [0.5, -1.25])
+    assert back[1]["signed"] == [-1, -42, 5]
+    np.testing.assert_allclose(back[1]["np_scores"], [0.25, -3.5])
 
 
 def test_synth_bair_convert_roundtrip(tmp_path):

@@ -43,6 +43,9 @@ def bench(name, config, B, variant, n_inner=10, reps=3):
     ops.set_use_pallas(False)
     config.training.batch_size = B
     config.training.compute_dtype = "bfloat16"
+    # training.rng_impl now defaults to rbg; pin it per-variant so 'base'
+    # still measures the threefry baseline the docstring documents
+    config.training.rng_impl = "rbg" if variant == "rbg" else "threefry"
     if variant == "nodrop":
         config.model.dropout = 0.0
     model = get_model(config)

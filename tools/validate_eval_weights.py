@@ -289,7 +289,8 @@ def main(argv=None):
     }
     wdir = args.weights_dir or os.environ.get("MCVD_WEIGHTS_DIR") or "/tmp/weights"
     report_path = args.report or os.path.join(wdir, "validation_report.json")
-    os.makedirs(os.path.dirname(report_path), exist_ok=True)
+    if os.path.dirname(report_path):
+        os.makedirs(os.path.dirname(report_path), exist_ok=True)
     with open(report_path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
