@@ -26,7 +26,11 @@ while true; do
 done
 
 # Checkpoint-sweep FID (1000 samples/ckpt, full SMLD Langevin protocol).
+# Needs Inception weights: MCVD_WEIGHTS_DIR (tools/make_eval_weights.py
+# fabricates a set under zero egress). batch_size>=250 crashes the axon
+# TPU worker ("kernel fault", OOM-shaped) — 100 is stable.
+: "${MCVD_WEIGHTS_DIR:?set MCVD_WEIGHTS_DIR (tools/make_eval_weights.py)}"
 python main.py --config configs/cifar10_ncsnv2.yml \
     --data_path "$DATA" --exp "$EXP" --ni --fast_fid \
     --config_mod $MODS fast_fid.begin_ckpt=2000 fast_fid.end_ckpt=$N_ITERS \
-    fast_fid.freq=2000 fast_fid.num_samples=1000 fast_fid.batch_size=500
+    fast_fid.freq=2000 fast_fid.num_samples=1000 fast_fid.batch_size=100
