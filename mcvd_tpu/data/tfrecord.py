@@ -109,23 +109,44 @@ def parse_example(buf: bytes) -> Dict[str, FeatureValue]:
     return out
 
 
-def read_tfrecord(path: str) -> Iterator[bytes]:
-    """Yield raw record payloads (TFRecord framing: u64 length, u32 crc,
-    payload, u32 crc; CRCs not verified)."""
+def read_tfrecord(path: str, verify_crc: bool = False) -> Iterator[bytes]:
+    """Yield raw record payloads (TFRecord framing: u64 length, u32 masked
+    crc of the length, payload, u32 masked crc of the payload).
+
+    ``verify_crc=True`` checks both masked CRC32C fields and raises
+    ValueError on mismatch — the same check a real TensorFlow reader
+    performs. Default off: bulk ingest of trusted local shards doesn't need
+    the (pure-python, slow) CRC pass."""
     with open(path, "rb") as f:
+        idx = 0
         while True:
             header = f.read(8)
             if len(header) < 8:
                 return
             (length,) = struct.unpack("<Q", header)
-            f.read(4)  # length crc
+            len_crc = f.read(4)
             payload = f.read(length)
-            f.read(4)  # payload crc
+            payload_crc = f.read(4)
+            if verify_crc:
+                want = struct.unpack("<I", len_crc)[0]
+                got = _masked_crc(header)
+                if want != got:
+                    raise ValueError(
+                        f"{path}: record {idx} length-crc mismatch "
+                        f"(file {want:#010x} != computed {got:#010x})")
+                want = struct.unpack("<I", payload_crc)[0]
+                got = _masked_crc(payload)
+                if want != got:
+                    raise ValueError(
+                        f"{path}: record {idx} payload-crc mismatch "
+                        f"(file {want:#010x} != computed {got:#010x})")
+            idx += 1
             yield payload
 
 
-def read_examples(path: str) -> Iterator[Dict[str, FeatureValue]]:
-    for rec in read_tfrecord(path):
+def read_examples(path: str, verify_crc: bool = False
+                  ) -> Iterator[Dict[str, FeatureValue]]:
+    for rec in read_tfrecord(path, verify_crc=verify_crc):
         yield parse_example(rec)
 
 
@@ -178,17 +199,35 @@ def _ld(field: int, payload: bytes) -> bytes:
 
 
 def encode_example(features: Dict[str, FeatureValue]) -> bytes:
-    """Encode a tf.Example proto (inverse of parse_example)."""
+    """Encode a tf.Example proto (inverse of parse_example).
+
+    Type dispatch inspects the WHOLE list, not just element 0 (ADVICE r4):
+    any bytes element requires all-bytes; a list mixing ints and floats is
+    promoted to FloatList (the reading side would otherwise see truncated
+    ints); an empty list is ambiguous (BytesList/FloatList/Int64List all
+    parse back as []) and is rejected — omit the key instead."""
     import numpy as _np
 
     entries = b""
     for key, val in features.items():
-        if val and isinstance(val[0], bytes):
+        if not val:
+            raise ValueError(
+                f"feature {key!r} is an empty list: the target list type is "
+                "ambiguous; omit the key instead")
+        any_bytes = any(isinstance(v, bytes) for v in val)
+        any_float = any(isinstance(v, (float, _np.floating)) for v in val)
+        if any_bytes:
+            if not all(isinstance(v, bytes) for v in val):
+                raise ValueError(f"feature {key!r} mixes bytes and non-bytes")
             feat = _ld(1, b"".join(_ld(1, v) for v in val))  # BytesList
-        elif val and isinstance(val[0], (float, _np.floating)):
+        elif any_float:
             packed = struct.pack(f"<{len(val)}f", *(float(v) for v in val))
             feat = _ld(2, _ld(1, packed))  # FloatList, packed
         else:
+            if not all(isinstance(v, (int, _np.integer)) for v in val):
+                raise ValueError(
+                    f"feature {key!r} has unsupported element types "
+                    f"{sorted({type(v).__name__ for v in val})}")
             packed = b"".join(_varint(int(v)) for v in val)
             feat = _ld(3, _ld(1, packed))  # Int64List, packed
         entries += _ld(1, _ld(1, key.encode("utf-8")) + _ld(2, feat))

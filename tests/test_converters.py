@@ -176,10 +176,11 @@ def test_tfrecord_writer_crc_and_roundtrip(tmp_path):
     from mcvd_tpu.data.tfrecord import _crc32c, _masked_crc, write_examples
 
     assert _crc32c(b"123456789") == 0xE3069283  # canonical check vector
-    # masked crc of the check vector per the TFRecord masking formula
-    crc = 0xE3069283
-    assert _masked_crc(b"123456789") == (
-        (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+    # masked crc of the check vector: HARD-CODED literal (derived once from
+    # the RFC 3720 crc + TF's rot-right-15 + 0xA282EAD8 masking), so a wrong
+    # rotation direction or mask constant fails here instead of silently
+    # producing files a real TensorFlow reader rejects (ADVICE r4)
+    assert _masked_crc(b"123456789") == 0xC78AB0E5
 
     path = str(tmp_path / "w.tfrecords")
     examples = [
@@ -190,12 +191,43 @@ def test_tfrecord_writer_crc_and_roundtrip(tmp_path):
          "np_scores": list(np.asarray([0.25, -3.5], np.float32))},
     ]
     write_examples(path, examples)
-    back = list(read_examples(path))
+    # verify_crc=True makes the roundtrip exercise BOTH masked-CRC fields
+    # of every record, so writer and reader cannot share a hidden bug
+    back = list(read_examples(path, verify_crc=True))
     assert back[0]["0/image_aux1/encoded"] == [b"\xff\xd8jpeg-ish"]
     assert back[0]["ids"] == [7, 300]
     np.testing.assert_allclose(back[1]["scores"], [0.5, -1.25])
     assert back[1]["signed"] == [-1, -42, 5]
     np.testing.assert_allclose(back[1]["np_scores"], [0.25, -3.5])
+
+
+def test_tfrecord_crc_verification_catches_corruption(tmp_path):
+    from mcvd_tpu.data.tfrecord import read_tfrecord, write_examples
+
+    path = str(tmp_path / "c.tfrecords")
+    write_examples(path, [{"ids": [1, 2, 3]}])
+    data = bytearray(open(path, "rb").read())
+    data[-6] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(data))
+    assert len(list(read_tfrecord(path))) == 1  # unverified read: accepted
+    with pytest.raises(ValueError, match="payload-crc mismatch"):
+        list(read_tfrecord(path, verify_crc=True))
+
+
+def test_encode_example_type_dispatch(tmp_path):
+    """Whole-list type dispatch (ADVICE r4): int-led mixed lists promote to
+    FloatList; empty and bytes-mixed lists are rejected."""
+    from mcvd_tpu.data.tfrecord import encode_example, parse_example
+
+    # [int, float] must NOT truncate 2.5 via Int64List
+    mixed = parse_example(encode_example({"m": [1, 2.5]}))
+    np.testing.assert_allclose(mixed["m"], [1.0, 2.5])
+    with pytest.raises(ValueError, match="empty list"):
+        encode_example({"e": []})
+    with pytest.raises(ValueError, match="mixes bytes"):
+        encode_example({"b": [b"x", 1]})
+    with pytest.raises(ValueError, match="unsupported element types"):
+        encode_example({"s": ["a string"]})
 
 
 def test_synth_bair_convert_roundtrip(tmp_path):
