@@ -141,17 +141,26 @@ class NCSNpp(nn.Module):
                 n_head_channels=n_head_channels,
             )
 
+        # The reference hardcodes resblock_type='biggan' (ncsnpp_more.py:65,
+        # :428) but carries a complete 'ddpm' branch (:135-156, :204-249,
+        # :308, :366, :497-511): plain DDPM resblocks + standalone FIR
+        # Upsample/Downsample modules instead of up/down resblocks. Exposed
+        # here behind config.model.resblock_type (default 'biggan').
+        self.resblock_type = getattr(config.model, "resblock_type", "biggan")
+        if self.resblock_type not in ("biggan", "ddpm"):
+            raise ValueError(
+                f"resblock type {self.resblock_type} unrecognized.")
         resblock_kwargs = dict(
             act=self.act,
             dropout=dropout,
-            fir=True,
-            fir_kernel=fir_kernel,
             init_scale=init_scale,
             skip_rescale=True,
             temb_dim=temb_dim,
             conv_mode=self.conv_mode,
             act3d=True,
         )
+        if self.resblock_type == "biggan":
+            resblock_kwargs.update(fir=True, fir_kernel=fir_kernel)
         if self.spade:
             resblock_kwargs.update(
                 norm="spade",
@@ -159,11 +168,13 @@ class NCSNpp(nn.Module):
                 cond_ch=cond_ch,
                 spade_dim=spade_dim,
             )
+        ResBlockCls = (blocks.ResnetBlockDDPM if self.resblock_type == "ddpm"
+                       else blocks.ResnetBlockBigGAN)
         ResDown = functools.partial(
-            blocks.ResnetBlockBigGAN, n_frames=self.n_frames, **resblock_kwargs
+            ResBlockCls, n_frames=self.n_frames, **resblock_kwargs
         )
         ResUp = functools.partial(
-            blocks.ResnetBlockBigGAN,
+            ResBlockCls,
             n_frames=self.num_frames if not self.spade else self.n_frames,
             **resblock_kwargs,
         )
@@ -181,7 +192,12 @@ class NCSNpp(nn.Module):
                     modules.append(AttnDown(channels=in_ch))
                 hs_c.append(in_ch)
             if i_level != num_resolutions - 1:
-                modules.append(ResDown(down=True, in_ch=in_ch))
+                if self.resblock_type == "ddpm":
+                    modules.append(blocks.Downsample(
+                        in_ch=in_ch, with_conv=True, fir=True,
+                        fir_kernel=fir_kernel))
+                else:
+                    modules.append(ResDown(down=True, in_ch=in_ch))
                 hs_c.append(in_ch)
 
         # ---- Middle
@@ -207,7 +223,12 @@ class NCSNpp(nn.Module):
             if all_resolutions[i_level] in attn_resolutions:
                 modules.append(AttnUp(channels=in_ch))
             if i_level != 0:
-                modules.append(ResUp(in_ch=in_ch, up=True))
+                if self.resblock_type == "ddpm":
+                    modules.append(blocks.Upsample(
+                        in_ch=in_ch, with_conv=True, fir=True,
+                        fir_kernel=fir_kernel))
+                else:
+                    modules.append(ResUp(in_ch=in_ch, up=True))
 
         assert not hs_c
 
@@ -294,7 +315,10 @@ class NCSNpp(nn.Module):
                     m_idx += 1
                 hs.append(h)
             if i_level != self.num_resolutions - 1:
-                h = call_res(modules[m_idx], hs[-1])
+                if self.resblock_type == "ddpm":
+                    h = modules[m_idx](hs[-1])  # plain FIR Downsample
+                else:
+                    h = call_res(modules[m_idx], hs[-1])
                 m_idx += 1
                 hs.append(h)
 
@@ -328,7 +352,10 @@ class NCSNpp(nn.Module):
                 h = modules[m_idx](h)
                 m_idx += 1
             if i_level != 0:
-                h = call_res(modules[m_idx], h)
+                if self.resblock_type == "ddpm":
+                    h = modules[m_idx](h)  # plain FIR Upsample
+                else:
+                    h = call_res(modules[m_idx], h)
                 m_idx += 1
 
         assert not hs

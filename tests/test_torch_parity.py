@@ -15,10 +15,14 @@ from mcvd_tpu.compat import convert_state_dict
 from mcvd_tpu.config import dict2namespace
 from mcvd_tpu.models import get_model
 
+# compile-heavy / subprocess module: excluded from the quick tier
+pytestmark = pytest.mark.heavy
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
-def build_config(arch="unetmore", spade=False, cond_emb=False, ngf=16):
+def build_config(arch="unetmore", spade=False, cond_emb=False, ngf=16,
+                 resblock_type=None):
     return dict2namespace(
         {
             "data": {
@@ -36,6 +40,7 @@ def build_config(arch="unetmore", spade=False, cond_emb=False, ngf=16):
                 "n_head_channels": 8, "conditional": True,
                 "noise_in_cond": False, "output_all_frames": False,
                 "gamma": False, "ema": False, "ema_rate": 0.999,
+                **({"resblock_type": resblock_type} if resblock_type else {}),
             },
         }
     )
@@ -60,6 +65,10 @@ CASES = [
     ("pseudo3d", dict(arch="unetmorepseudo3d")),
     ("pseudo3d_spade", dict(arch="unetmorepseudo3d", spade=True)),
     ("unet_legacy", dict(arch="unet", ngf=32)),
+    # reference's (unpinned) ddpm-resblock branch, ncsnpp_more.py:135-156
+    ("unetmore2d_ddpmblock", dict(arch="unetmore", resblock_type="ddpm")),
+    ("spade2d_ddpmblock",
+     dict(arch="unetmore", spade=True, resblock_type="ddpm")),
 ]
 
 

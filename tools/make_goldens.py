@@ -18,7 +18,82 @@ REF = os.environ.get("MCVD_REFERENCE", "/root/reference")
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 
 
-def build_config(arch="unetmore", spade=False, cond_emb=False):
+def load_patched_ncsnpp_more():
+    """Reference ncsnpp_more with the resblock_type hardcode lifted.
+
+    The reference carries a complete 'ddpm' resblock branch
+    (ncsnpp_more.py:135-156,204-249,308,366,497-511) but pins
+    `self.resblock_type = resblock_type = 'biggan'` (:65, :428), making the
+    branch unreachable. To generate oracle outputs for OUR config-exposed
+    branch, load a copy of the module with the pin replaced by a config
+    read — the only change; every other byte of the reference runs as-is."""
+    import types
+
+    import models.better.ncsnpp_more as ref_mod
+
+    path = os.path.join(REF, "models", "better", "ncsnpp_more.py")
+    src = open(path).read()
+    pin = "self.resblock_type = resblock_type = 'biggan'"
+    assert src.count(pin) == 2, "reference hardcode moved; re-check patch"
+    patched = src.replace(
+        pin,
+        "self.resblock_type = resblock_type = "
+        "getattr(config.model, 'resblock_type', 'biggan')")
+    # SPADE_NCSNpp's ddpm branch passes cond= to the plain Downsample /
+    # Upsample modules (ncsnpp_more.py:652, :696) whose forward(x) takes no
+    # such argument — a TypeError in the dead code. The intent is plain
+    # resampling (the concat class's ddpm branch calls them bare, :309,
+    # :368); drop the argument.
+    down_bug = "h = modules[m_idx](hs[-1], cond=cond)"
+    up_bug = "  h = modules[m_idx](h, cond=cond)\n          m_idx += 1"
+    assert patched.count(down_bug) == 1 and patched.count(up_bug) == 1
+    patched = patched.replace(down_bug, "h = modules[m_idx](hs[-1])")
+    patched = patched.replace(up_bug,
+                              "  h = modules[m_idx](h)\n          m_idx += 1")
+    mod = types.ModuleType("models.better.ncsnpp_more_patched")
+    mod.__package__ = "models.better"
+    mod.__file__ = ref_mod.__file__
+    exec(compile(patched, path, "exec"), mod.__dict__)
+    _fix_upsample_conv_2d()
+    return mod
+
+
+def _fix_upsample_conv_2d():
+    """The ddpm branch's layerspp.Upsample(with_conv=True, fir=True) calls
+    up_or_down_sampling.upsample_conv_2d, which crashes in torch as written:
+    `w[..., ::-1, ::-1]` is numpy-style negative-step slicing (a leftover of
+    the StyleGAN2 TF port) that torch rejects ("step must be greater than
+    zero"). Monkeypatch the module-level function with the one-line
+    torch.flip equivalent — the TF original's semantics — so the oracle
+    runs. (Our UpDownConv2d up-path was already oracle-tested against these
+    corrected semantics in tests/test_resample.py.)"""
+    import types
+
+    import models.better.up_or_down_sampling as uds
+
+    path = os.path.join(REF, "models", "better", "up_or_down_sampling.py")
+    src = open(path).read()
+    broken = "w = w[..., ::-1, ::-1].permute(0, 2, 1, 3, 4)"
+    assert src.count(broken) == 1, "reference broken slice moved; re-check"
+    fixed = src.replace(
+        broken, "w = torch.flip(w, [3, 4]).permute(0, 2, 1, 3, 4)")
+    # second TF leftover in the same function: a 4-length NHWC-style stride
+    # ([1,1,f,f]) that torch's conv_transpose2d rejects AND that corrupts the
+    # output_padding formula (which expects stride[0] == factor)
+    broken2 = "stride = [1, 1, factor, factor]"
+    assert src.count(broken2) == 1, "reference broken stride moved; re-check"
+    fixed = fixed.replace(broken2, "stride = [factor, factor]")
+    mod = types.ModuleType("models.better.up_or_down_sampling_patched")
+    mod.__package__ = "models.better"
+    mod.__file__ = uds.__file__
+    exec(compile(fixed, path, "exec"), mod.__dict__)
+    # Conv2d.forward resolves upsample_conv_2d from its module globals at
+    # call time, so rebinding the name on the REAL module is sufficient
+    uds.upsample_conv_2d = mod.upsample_conv_2d
+
+
+def build_config(arch="unetmore", spade=False, cond_emb=False,
+                 resblock_type=None):
     import argparse as ap
 
     def ns(d):
@@ -45,6 +120,7 @@ def build_config(arch="unetmore", spade=False, cond_emb=False):
                 "n_head_channels": 8, "conditional": True,
                 "noise_in_cond": False, "output_all_frames": False,
                 "gamma": False, "ema": False, "ema_rate": 0.999,
+                **({"resblock_type": resblock_type} if resblock_type else {}),
             },
         }
     )
@@ -66,6 +142,11 @@ def main():
         ("pseudo3d", dict(arch="unetmorepseudo3d")),
         ("pseudo3d_spade", dict(arch="unetmorepseudo3d", spade=True)),
         ("unet_legacy", dict(arch="unet")),
+        # the reference's unreachable ddpm-resblock branch, unpinned via
+        # load_patched_ncsnpp_more (oracle for config.model.resblock_type)
+        ("unetmore2d_ddpmblock", dict(arch="unetmore", resblock_type="ddpm")),
+        ("spade2d_ddpmblock",
+         dict(arch="unetmore", spade=True, resblock_type="ddpm")),
     ]
 
     for name, kw in cases:
@@ -76,6 +157,8 @@ def main():
             from models.unet import UNet_DDPM
 
             net = UNet_DDPM(config)
+        elif kw.get("resblock_type"):
+            net = load_patched_ncsnpp_more().UNetMore_DDPM(config)
         else:
             from models.better.ncsnpp_more import UNetMore_DDPM
 
