@@ -215,9 +215,21 @@ def lockstep(fn, name: str, timeout_s: Optional[float] = None):
                 # rejections (sharding/layout drift vs the AOT signature).
                 # Anything else is a real runtime failure: re-executing
                 # fn(*args) would run on possibly-donated (deleted) inputs
-                # and mask the original error.
+                # and mask the original error. Classification: an input
+                # rejection is raised BEFORE execution, so every array
+                # argument is still live; if any input buffer was deleted
+                # the program executed (and donated) — re-raise. The message
+                # heuristic alone is unsafe: real XLA runtime errors often
+                # say "incompatible" too (ADVICE r4).
+                leaves = jax.tree_util.tree_leaves(args)
+                any_deleted = any(
+                    getattr(l, "is_deleted", lambda: False)()
+                    for l in leaves if isinstance(l, jax.Array))
                 msg = str(e).lower()
-                if not any(s in msg for s in ("layout", "sharding", "incompatible")):
+                looks_like_input_rejection = any(
+                    s in msg for s in ("layout", "sharding", "incompatible",
+                                       "donat"))
+                if any_deleted or not looks_like_input_rejection:
                     raise
                 import logging
 
@@ -270,14 +282,19 @@ def all_processes_true(flag) -> bool:
 _BCAST_SEQ = [0]
 
 
-def broadcast_from_primary(value: str) -> str:
+def broadcast_from_primary(value: str, name: str = "") -> str:
     """Process 0's string, delivered to every process over the
     coordination-service KV store (same transport rationale as
     all_processes_true). For filesystem-derived host decisions that must be
     identical across processes but where process 0 is authoritative — e.g.
     checkpoint listings: orbax writes on the primary host only, so on
     non-shared disks peers may see none and would otherwise run a different
-    number of collective eval calls (hang at the next barrier)."""
+    number of collective eval calls (hang at the next barrier).
+
+    ``name`` should identify the call site: it goes into the KV key, so if
+    processes ever reach broadcast calls in different orders the mismatched
+    key fails loudly (blocking get times out) instead of silently delivering
+    the wrong payload to the wrong consumer (ADVICE r4)."""
     if jax.process_count() == 1:
         return value
     import os
@@ -290,50 +307,56 @@ def broadcast_from_primary(value: str) -> str:
     timeout_ms = int(float(os.environ.get("MCVD_BARRIER_TIMEOUT", "900")) * 1000)
     seq = _BCAST_SEQ[0]
     _BCAST_SEQ[0] += 1
-    key = f"mcvd:bcast:{seq}"
+    key = f"mcvd:bcast:{name}:{seq}" if name else f"mcvd:bcast:{seq}"
     if jax.process_index() == 0:
         client.key_value_set(key, value)
     return client.blocking_key_value_get(key, timeout_ms)
 
 
-def wrap_block_collective(block, mesh: Mesh):
-    """Turn a jitted block sampler `block(params, key, init, cond, cond_mask)`
-    into a multi-process collective island: inputs are full host values
-    identical on every process (params replicated, batch args sharded over
-    'data'), the inner jit runs as ONE SPMD program over the global mesh, and
-    the output is allgathered back to a full local value.
+def wrap_chain_collective(fn, mesh: Mesh, name: str):
+    """Turn a jitted chain `fn(params, key, *batch_args)` into a
+    multi-process collective island: inputs are full host values identical
+    on every process (params replicated, every non-None batch arg sharded
+    over 'data' on axis 0), the inner jit runs as ONE SPMD program over the
+    global mesh, and the output is allgathered back to a full local value.
 
     This is the eval-side multi-host pattern (reference analog: the
     DataParallel wrap at ncsn_runner.py:924/1377/2442): every process runs
     the identical host-side harness (loading the full eval split, metric
     math, RNG threading), so results agree bit-for-bit without any
     cross-process metric reduction — only the expensive reverse-diffusion
-    chain is sharded. Every process MUST call the wrapped sampler the same
+    chain is sharded. Every process MUST call the wrapped fn the same
     number of times with the same shapes (it is a collective)."""
     repl = replicated_sharding(mesh)
     dsh = data_sharding(mesh)
-    # compile-skew hardening: the block's first execution rendezvouses a
+    # compile-skew hardening: the chain's first execution rendezvouses a
     # fresh gloo context — AOT-compile + coordination barrier first
-    block = lockstep(block, "block_sampler")
+    fn = lockstep(fn, name)
     # memo holds a strong ref to the source tree so the identity check can't
     # alias a new tree to a stale put (id() reuse after GC)
     memo = {"src": None, "put": None}
 
-    def wrapped(params, key, init, cond, cond_mask):
+    def wrapped(params, key, *batch_args):
         if memo["src"] is not params:  # one live param tree (ensemble re-puts)
             memo["src"] = params
             memo["put"] = jax.tree_util.tree_map(
                 lambda a: put_full_batch(mesh, a, repl), params)
-        gen = block(
+        out = fn(
             memo["put"],
             np.asarray(key),
-            put_full_batch(mesh, init, dsh),
-            None if cond is None else put_full_batch(mesh, cond, dsh),
-            None if cond_mask is None else put_full_batch(mesh, cond_mask, dsh),
+            *(None if a is None else put_full_batch(mesh, a, dsh)
+              for a in batch_args),
         )
-        return jax.numpy.asarray(host_value(gen))
+        return jax.numpy.asarray(host_value(out))
 
     return wrapped
+
+
+def wrap_block_collective(block, mesh: Mesh):
+    """wrap_chain_collective specialized to the block sampler signature
+    `block(params, key, init, cond, cond_mask)` (kept as the established
+    name for the video_gen/fast_fid call sites)."""
+    return wrap_chain_collective(block, mesh, "block_sampler")
 
 
 def has_tensor_axis(mesh: Optional[Mesh]) -> bool:

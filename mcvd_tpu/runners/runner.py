@@ -49,6 +49,44 @@ from . import plots
 logger = logging.getLogger(__name__)
 
 
+def chunk_block(block, max_rows: int = 128):
+    """Bound the per-call batch of a block sampler.
+
+    The axon TPU worker hard-crashes ("kernel fault", OOM-shaped) when the
+    sampler chain is dispatched with batch >= 250 (NOTES_ROUND4); a user
+    config with fast_fid.batch_size: 250 must not be able to kill the
+    worker, so every sampler invocation is split into near-equal row chunks
+    of <= max_rows (at most two distinct chunk shapes, so at most two
+    compiles). Chunk RNG keys are folded from the call key by chunk index;
+    batch-size semantics (how many samples a loader round produces) are
+    unchanged. Override the cap with MCVD_MAX_SAMPLER_BATCH.
+
+    Applied OUTSIDE wrap_block_collective: chunk counts are derived from
+    shapes identical across processes, so every process performs the same
+    sequence of collective calls."""
+    max_rows = int(os.environ.get("MCVD_MAX_SAMPLER_BATCH", max_rows))
+
+    def wrapped(params, key, init, cond=None, cond_mask=None):
+        bs = init.shape[0]
+        if max_rows <= 0 or bs <= max_rows:
+            return block(params, key, init, cond, cond_mask)
+        n_chunks = -(-bs // max_rows)
+        base, rem = divmod(bs, n_chunks)
+        sizes = [base + 1] * rem + [base] * (n_chunks - rem)
+        outs = []
+        start = 0
+        for ci, n in enumerate(sizes):
+            sl = slice(start, start + n)
+            outs.append(block(
+                params, jax.random.fold_in(key, ci), init[sl],
+                None if cond is None else cond[sl],
+                None if cond_mask is None else cond_mask[sl]))
+            start += n
+        return jnp.concatenate(outs, axis=0)
+
+    return wrapped
+
+
 class Runner:
     def __init__(self, args, config, config_uncond=None):
         self.args = args
@@ -101,7 +139,15 @@ class Runner:
         writes on the primary host only, so on non-shared disks peers may
         list fewer checkpoints and would run a different number of
         collective eval calls (hang at the next barrier). Process 0's
-        listing is authoritative."""
+        listing is authoritative.
+
+        Shared-filesystem assumption (ADVICE r4): this closes LISTING races
+        only. Restoring a checkpoint still does a local orbax read on every
+        process (train/checkpoints.py), so the checkpoint directory must be
+        on a filesystem all hosts can read (NFS/GCS — the normal multi-host
+        deployment). On truly disjoint disks the agreed steps would fail at
+        restore time on the peers; that failure is at least loud and names
+        the missing path."""
         import json
 
         from ..parallel.mesh import broadcast_from_primary
@@ -114,7 +160,8 @@ class Runner:
                         steps.append(int(d.split("_")[1]))
                     except ValueError:
                         pass
-        return list(json.loads(broadcast_from_primary(json.dumps(sorted(steps)))))
+        return list(json.loads(broadcast_from_primary(
+            json.dumps(sorted(steps)), name="ckpt_steps")))
 
     # ------------------------------------------------------------------ train
 
@@ -667,8 +714,8 @@ class Runner:
             num_frames_pred=config.data.num_frames,
             prob_mask_cond=0.0, prob_mask_future=0.0, conditional=conditional,
         )
-        block = (self._mp_block_sampler()
-                 or make_block_sampler(config, self.model, self.sched))
+        block = chunk_block(self._mp_block_sampler()
+                            or make_block_sampler(config, self.model, self.sched))
         key = jax.random.PRNGKey(getattr(args, "seed", 0))
         shape = real.shape
         init = init_noise(key, config, self.sched, shape)
@@ -709,8 +756,8 @@ class Runner:
         data_iter = iter(DataLoader(test_ds, batch_size=bs, shuffle=True,
                                     seed=getattr(args, "seed", 0), repeat=True,
                                     drop_last=True))
-        block = (self._mp_block_sampler()
-                 or make_block_sampler(config, self.model, self.sched))
+        block = chunk_block(self._mp_block_sampler()
+                            or make_block_sampler(config, self.model, self.sched))
         out_dir = getattr(args, "image_folder", args.log_path)
         os.makedirs(out_dir, exist_ok=True)
         key = jax.random.PRNGKey(getattr(args, "seed", 0))
@@ -755,6 +802,8 @@ class Runner:
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
         bs = getattr(config.sampling, "batch_size", 8)
+        if jax.process_count() > 1:
+            bs = self._eval_batch_size(bs, bs, "sample inpainting")
         X, _ = next(iter(DataLoader(test_ds, batch_size=bs, shuffle=False)))
         Xt = data_transform(config, jnp.asarray(X))
         refer, cond, cond_mask = conditioning_fn(
@@ -764,12 +813,25 @@ class Runner:
         )
         key = jax.random.PRNGKey(getattr(args, "seed", 0))
         init = jax.random.uniform(key, refer.shape)
-        out = anneal_langevin_inpainting(
-            key, data_transform(config, init), refer,
-            self._eps_closure(params, cond, cond_mask), self.sched,
-            n_steps_each=getattr(config.sampling, "n_steps_each", 100),
-            step_lr=getattr(config.sampling, "step_lr", 8e-6),
-        )
+
+        # the chain takes its batch args EXPLICITLY (not via the eps closure)
+        # so that multi-process runs can shard it over 'data' like the block
+        # sampler — no replicated Langevin work per process (VERDICT r4 #7)
+        def chain_fn(p, k, init_, refer_, cond_, cond_mask_):
+            return anneal_langevin_inpainting(
+                k, init_, refer_,
+                self._eps_closure(p, cond_, cond_mask_), self.sched,
+                n_steps_each=getattr(config.sampling, "n_steps_each", 100),
+                step_lr=getattr(config.sampling, "step_lr", 8e-6),
+            )
+
+        chain = jax.jit(chain_fn)
+        if jax.process_count() > 1:
+            from ..parallel.mesh import wrap_chain_collective
+
+            chain = wrap_chain_collective(chain, self.mesh, "inpainting_chain")
+        out = chain(params, key, data_transform(config, init), refer,
+                    cond, cond_mask)
         out = np.asarray(inverse_data_transform(config, out))
         out_dir = getattr(args, "image_folder", args.log_path)
         os.makedirs(out_dir, exist_ok=True)
@@ -789,6 +851,8 @@ class Runner:
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
         bs = getattr(config.sampling, "batch_size", 8)
+        if jax.process_count() > 1:
+            bs = self._eval_batch_size(bs, bs, "sample interpolation")
         n_interp = getattr(config.sampling, "n_interpolations", 15)
         sz, C = config.data.image_size, config.data.channels
         F = config.data.num_frames
@@ -803,12 +867,26 @@ class Runner:
             cond_mask = jnp.repeat(cond_mask, n_interp, axis=0) if cond_mask is not None else None
         key = jax.random.PRNGKey(getattr(args, "seed", 0))
         init = data_transform(config, jax.random.uniform(key, (bs, sz, sz, F * C)))
-        out = anneal_langevin_interpolation(
-            key, init, self._eps_closure(params, cond, cond_mask), self.sched,
-            n_interp,
-            n_steps_each=getattr(config.sampling, "n_steps_each", 200),
-            step_lr=getattr(config.sampling, "step_lr", 8e-6),
-        )
+
+        # batch args explicit so multi-process runs shard the chain over
+        # 'data' instead of replicating it per process (VERDICT r4 #7).
+        # init has bs rows and cond bs*n_interp: both axis-0 shard evenly
+        # because bs is a multiple of the data axis (_eval_batch_size above).
+        def chain_fn(p, k, init_, cond_, cond_mask_):
+            return anneal_langevin_interpolation(
+                k, init_, self._eps_closure(p, cond_, cond_mask_), self.sched,
+                n_interp,
+                n_steps_each=getattr(config.sampling, "n_steps_each", 200),
+                step_lr=getattr(config.sampling, "step_lr", 8e-6),
+            )
+
+        chain = jax.jit(chain_fn)
+        if jax.process_count() > 1:
+            from ..parallel.mesh import wrap_chain_collective
+
+            chain = wrap_chain_collective(chain, self.mesh,
+                                          "interpolation_chain")
+        out = chain(params, key, init, cond, cond_mask)
         out = np.asarray(inverse_data_transform(config, out))
         out_dir = getattr(args, "image_folder", args.log_path)
         os.makedirs(out_dir, exist_ok=True)
@@ -973,6 +1051,7 @@ class Runner:
             # loaders/feature-embedding/Fréchet math run identically on every
             # process (same seeds), process 0 owns the cache/yml writes
             block = wrap_block_collective(block, self.mesh)
+        block = chunk_block(block)  # axon guard: bound per-call batch
         is_main = jax.process_index() == 0
         C, F = config.data.channels, config.data.num_frames
 

@@ -19,6 +19,11 @@ import yaml
 
 from mcvd_tpu.config import namespace2dict
 
+import pytest
+
+# compile-heavy / subprocess module: excluded from the quick tier
+pytestmark = pytest.mark.heavy
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -183,3 +188,46 @@ def test_asymmetric_compile_cache_and_skew(tmp_path):
     for pid, (rc, out) in enumerate(outs):
         assert rc == 0, f"skewed process {pid} failed:\n{out[-4000:]}"
     assert any("training done at step 2" in o for _, o in outs)
+
+
+def test_main_sample_inpainting_two_processes(tmp_path):
+    """The SMLD inpainting chain as a 2-process collective island
+    (parallel.mesh.wrap_chain_collective, VERDICT r4 next #7): the Langevin
+    chain is sharded over 'data' instead of replicated per process; both
+    processes produce the identical allgathered result; process 0 writes."""
+    from tests.test_runner_train import make_cfg
+
+    cfg = make_cfg(str(tmp_path), wire_dtype="float32", n_iters=2,
+                   val_freq=0, checkpoint_freq=10, batch_size=4)
+    # SMLD is the legacy-UNet/NCSN path (the inpainting branch asserts it);
+    # the legacy UNet's fixed 32-group GroupNorm needs ngf >= 32
+    cfg.model.arch = "unet"
+    cfg.model.ngf = 32
+    cfg.model.version = "SMLD"
+    cfg.model.sigma_dist = "geometric"
+    cfg.model.sigma_begin = 1.0
+    cfg.model.sigma_end = 0.01
+    cfg.model.num_classes = 4
+    cfg.sampling.inpainting = True
+    cfg.sampling.n_steps_each = 2
+    cfg.sampling.step_lr = 8e-6
+    cfg.sampling.batch_size = 4
+    cfg_path = tmp_path / "tiny_smld.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(namespace2dict(cfg), f)
+
+    outs = _launch_two(cfg_path, tmp_path, "--train")
+    for pid, (rc, out) in enumerate(outs):
+        assert rc == 0, f"train process {pid} failed:\n{out[-4000:]}"
+
+    outs = _launch_two(cfg_path, tmp_path, "--sample")
+    for pid, (rc, out) in enumerate(outs):
+        assert rc == 0, f"inpainting process {pid} failed:\n{out[-4000:]}"
+    import glob
+
+    files = glob.glob(str(tmp_path / "exp" / "image_samples" / "images"
+                          / "inpainting_*.npz"))
+    assert files, "process 0 did not write the inpainting artifact"
+    z = np.load(files[0])
+    assert z["samples"].shape[0] == 4
+    assert np.isfinite(z["samples"]).all()
