@@ -34,3 +34,14 @@ os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: everything not marked `heavy` is auto-marked `quick`,
+    so `pytest -m quick` gives a fast signal on this compile-bound 1-core
+    host and `pytest -m heavy` is the complement (quick ∪ heavy = full)."""
+    for item in items:
+        if "heavy" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

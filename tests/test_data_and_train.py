@@ -130,6 +130,7 @@ def test_smmnist_and_loader():
     assert xb.shape == (4, 5, 64, 64, 1)
 
 
+@pytest.mark.heavy
 def test_train_step_on_mesh():
     config = make_config()
     mesh = make_mesh(axis_names=("data",))
@@ -163,6 +164,7 @@ def test_train_step_on_mesh():
     assert np.isfinite(float(val))
 
 
+@pytest.mark.heavy
 def test_train_step_bf16_compute():
     """training.compute_dtype=bfloat16: step runs, loss tracks the fp32 loss
     on identical data/keys (bf16 noise tolerance), grads stay finite, and
@@ -204,6 +206,7 @@ def test_train_step_bf16_compute():
     assert num / den > 0.9, num / den  # update cosine similarity
 
 
+@pytest.mark.heavy
 def test_train_chunk_matches_per_step():
     """make_train_chunk(K): one lax.scan dispatch == K make_train_step calls
     with the same split keys; the tail chunk (n_active < K) no-ops trailing
@@ -276,6 +279,7 @@ def test_loader_oversize_batch_with_drop_last_raises():
     assert xb.shape[0] == 8
 
 
+@pytest.mark.heavy
 def test_uint8_wire_roundtrip_lossless():
     """wire_dtype=uint8: k/255 f32 values survive the host wire cast exactly,
     and the train loss on uint8 wire equals the f32 loss bit-for-bit for
@@ -367,6 +371,7 @@ def test_loader_num_workers_matches_serial():
         np.testing.assert_array_equal(ya, yb)
 
 
+@pytest.mark.heavy
 def test_train_step_rng_impl():
     """training.rng_impl: the default 'rbg' (TPU-fast RngBitGenerator; see
     train/step.py:_as_impl_key) and the backend-invariant 'threefry' both

@@ -85,6 +85,7 @@ def test_wire_dtype_typo_raises(tmp_path):
         runner.train()
 
 
+@pytest.mark.heavy
 def test_snapshot_named_after_crossed_multiple(tmp_path):
     # K=3 dispatch, snapshot_freq=5: the crossing lands on step 6, but the
     # snapshot must be named checkpoint_5 for freq-thinned ckpt sweeps

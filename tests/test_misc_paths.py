@@ -8,6 +8,7 @@ import numpy as np
 from mcvd_tpu.config import dict2namespace
 from mcvd_tpu.diffusion import dsm_loss, make_schedule
 from mcvd_tpu.models import get_model
+import pytest
 
 
 def make_config(**model_kw):
@@ -35,6 +36,7 @@ def make_config(**model_kw):
     return dict2namespace(d)
 
 
+@pytest.mark.heavy
 def test_noise_in_cond_forward_and_loss():
     config = make_config(noise_in_cond=True)
     model = get_model(config)

@@ -102,6 +102,7 @@ def test_output_is_raw_eps_and_sigma_free():
     assert float(np.abs(out_s).max()) < 100.0
 
 
+@pytest.mark.heavy
 def test_ncsnv2_dsm_grad_flow():
     """dsm_loss differentiates through the full net; every param gets a
     finite, not-all-zero gradient tree."""
@@ -124,6 +125,7 @@ def test_ncsnv2_dsm_grad_flow():
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
 
 
+@pytest.mark.heavy
 def test_ncsnv2_raw_eps_convention_beats_divided_output():
     """Differential regression guard for the output-convention bug.
 

@@ -57,6 +57,7 @@ def test_fused_attention_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_fused_attention_packed_matches_reference():
     from mcvd_tpu.ops.lab.attention import _packed_reference, fused_attention_packed
 

@@ -14,6 +14,9 @@ import pytest
 
 from mcvd_tpu.config import dict2namespace
 
+# compile-heavy / subprocess module: excluded from the quick tier
+pytestmark = pytest.mark.heavy
+
 
 def make_cfg(tmp, **training_kw):
     training = {

@@ -14,6 +14,11 @@ import numpy as np
 
 from tests.test_runner_train import make_args, make_cfg
 
+import pytest
+
+# compile-heavy / subprocess module: excluded from the quick tier
+pytestmark = pytest.mark.heavy
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

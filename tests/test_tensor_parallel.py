@@ -16,6 +16,7 @@ from mcvd_tpu.parallel.mesh import batch_sharding, has_tensor_axis
 from mcvd_tpu.train import create_train_state, make_train_step
 
 from tests.test_data_and_train import make_config
+import pytest
 
 
 def _setup(B=8):
@@ -31,6 +32,7 @@ def _setup(B=8):
     return config, model, sched, X, state
 
 
+@pytest.mark.heavy
 def test_tensor_axis_matches_single_device():
     config, model, sched, X, state = _setup()
     key = jax.random.PRNGKey(1)

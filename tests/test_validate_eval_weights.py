@@ -10,10 +10,12 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.heavy
 def test_validate_eval_weights_e2e(tmp_path):
     wdir = str(tmp_path / "weights")
     env = os.environ.copy()

@@ -10,6 +10,11 @@ from mcvd_tpu.diffusion import make_schedule
 from mcvd_tpu.eval.video_gen import run_video_gen, slide_cond_window
 from mcvd_tpu.models import get_model
 
+import pytest
+
+# compile-heavy / subprocess module: excluded from the quick tier
+pytestmark = pytest.mark.heavy
+
 
 def make_config(future=0, pmc=0.0, pmf=0.0):
     return dict2namespace({
