@@ -251,3 +251,32 @@ def test_synth_bair_convert_roundtrip(tmp_path):
         assert int(f["len"]["0"][()]) == 6
         frame = f["0"]["3"][()]
         assert frame.shape == (64, 64, 3) and frame.dtype == np.uint8
+
+
+def test_synth_ucf101_convert_roundtrip(tmp_path):
+    """make_synth_ucf101 writes a real UCF-layout avi tree + official split
+    lists that the production ucf101_convert ingests into the single shard
+    tree UCF101Dataset expects (len/target groups + num_train/num_test)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_synth_ucf101 import write_synthetic_ucf
+
+    from mcvd_tpu.data.converters import ucf101_convert
+    from mcvd_tpu.data.video_datasets import UCF101Dataset
+
+    splits = write_synthetic_ucf(str(tmp_path / "raw"), train_per_class=2,
+                                 test_per_class=10, frames=10,
+                                 classes=["Bounce", "Spin"])
+    n_train, n_test = ucf101_convert(str(tmp_path / "raw"), splits,
+                                     str(tmp_path / "h5"), image_size=64)
+    assert (n_train, n_test) == (4, 20)
+    ds = UCF101Dataset(str(tmp_path / "h5"), frames_per_sample=4, train=True,
+                       image_size=64, seed=0)
+    v, target = ds[1]
+    assert v.shape == (4, 64, 64, 3) and v.dtype == np.float32
+    assert 0.0 <= v.min() and v.max() <= 1.0 and target in (0, 1)
+    ds_test = UCF101Dataset(str(tmp_path / "h5"), frames_per_sample=4,
+                            train=False, image_size=64, seed=1)
+    assert len(ds_test) == 2  # every 10th test video after the train block
+    v, _ = ds_test[0]
+    assert v.shape == (4, 64, 64, 3)
