@@ -375,6 +375,47 @@ class AttnBlock3d(nn.Module):
         )
 
 
+class AttnBlock3dFull(nn.Module):
+    """Full joint space-time attention over the folded layout
+    (reference: layers3d.py:139-189 AttnBlockpp3d_old — abandoned upstream
+    for memory; kept here as a working, selectable variant).
+
+    The reference flattens (N, H, W) into one token axis and runs the
+    standard AttnBlockpp math over it; on TPU that is exactly AttnBlock with
+    the frame axis folded into the token axes, so the O((NHW)^2) score matrix
+    stays a single large MXU matmul. Use only at coarse resolutions — the
+    memory wall that killed it upstream (9 GB/block at 64px) is physics, not
+    a torch artifact.
+    """
+
+    channels: int  # folded C*N
+    n_frames: int
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+    n_heads: int = 1
+    n_head_channels: int = -1
+    act: Optional[Act] = None  # unused; kept for factory-signature parity
+
+    @nn.compact
+    def __call__(self, x):
+        N = self.n_frames
+        C = self.channels // N
+        B, H, W, _ = x.shape
+        # channel-major fold (c*N+n) -> (B, N, H, W, C): AttnBlock flattens
+        # all middle axes, giving tokens = N*H*W like the reference's
+        # bnhwijk einsum pair (layers3d.py:177-182).
+        xr = x.reshape(B, H, W, C, N).transpose(0, 4, 1, 2, 3)
+        xr = AttnBlock(
+            channels=C,
+            skip_rescale=self.skip_rescale,
+            init_scale=self.init_scale,
+            n_heads=self.n_heads,
+            n_head_channels=self.n_head_channels,
+            name="att",
+        )(xr)
+        return xr.transpose(0, 2, 3, 4, 1).reshape(B, H, W, C * N)
+
+
 # ---------------------------------------------------------------------------
 # SPADE
 # ---------------------------------------------------------------------------

@@ -122,8 +122,16 @@ class NCSNpp(nn.Module):
         conv3x3_last, _ = blocks.make_convs(self.conv_mode, self.num_frames, self.act)
 
         if self.is3d:
+            # model.full3d_attn selects the reference's abandoned full joint
+            # space-time attention (layers3d.py:139 AttnBlockpp3d_old) over
+            # the default factorized space-then-time block (layers3d.py:191).
+            attn3d_cls = (
+                blocks.AttnBlock3dFull
+                if getattr(config.model, "full3d_attn", False)
+                else blocks.AttnBlock3d
+            )
             AttnBlockF = functools.partial(
-                blocks.AttnBlock3d,
+                attn3d_cls,
                 init_scale=init_scale,
                 skip_rescale=True,
                 n_head_channels=n_head_channels,

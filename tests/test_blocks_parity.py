@@ -126,6 +126,119 @@ def test_attention_matches_torch():
     np.testing.assert_allclose(to_nchw(got), ref.numpy(), rtol=5e-4, atol=5e-5)
 
 
+class TorchAttn3dFullOracle(torch.nn.Module):
+    """Reference AttnBlockpp3d_old INTENT (layers3d.py:139-189).
+
+    The block as written crashes for n_frames>1: its score einsum
+    'bcnhw,bcnij->bnhwij' (layers3d.py:177) shares the frame axis between q
+    and k, so the reshape to (B*h, N, H, W, N*H*W) at :179 mismatches by a
+    factor of N (RuntimeError, verified against /root/reference). The
+    surrounding reshape/softmax/reshape/einsum chain shows the intended math
+    is full joint attention over N*H*W tokens; this oracle fixes the score
+    einsum to 'bcnhw,bcijk->bnhwijk' and is anchored to the verified
+    AttnBlockpp oracle at N=1, where the upstream bug is inert."""
+
+    def __init__(self, C, N, n_head_channels):
+        super().__init__()
+        self.C, self.N = C, N
+        self.n_heads = 1 if C < n_head_channels else C // n_head_channels
+        self.gn = torch.nn.GroupNorm(num_groups_for(C), C, eps=1e-6)
+        self.W = torch.nn.ParameterList(
+            [torch.nn.Parameter(torch.zeros(C, C)) for _ in range(4)]
+        )
+        self.b = torch.nn.ParameterList(
+            [torch.nn.Parameter(torch.zeros(C)) for _ in range(4)]
+        )
+
+    def nin(self, x, i):
+        # x (B,C,N,H,W); W (in,out)  [NIN3d, layers3d.py:118-135]
+        return (
+            torch.einsum("bcnhw,cd->bdnhw", x, self.W[i])
+            + self.b[i][None, :, None, None, None]
+        )
+
+    def forward(self, x):  # x: (B, C*N, H, W) channel-major fold
+        B, CN, H, W = x.shape
+        C, N = self.C, self.N
+        x = x.reshape(B, C, N, H, W)
+        h = self.gn(x)
+        q, k, v = self.nin(h, 0), self.nin(h, 1), self.nin(h, 2)
+        Ch = C // self.n_heads
+        q = q.reshape(B * self.n_heads, Ch, N, H, W)
+        k = k.reshape(B * self.n_heads, Ch, N, H, W)
+        v = v.reshape(B * self.n_heads, Ch, N, H, W)
+        w = torch.einsum("bcnhw,bcijk->bnhwijk", q, k) * (Ch ** -0.5)
+        w = w.reshape(B * self.n_heads, N, H, W, N * H * W)
+        w = F.softmax(w, dim=-1)
+        w = w.reshape(B * self.n_heads, N, H, W, N, H, W)
+        h = torch.einsum("bnhwijk,bcijk->bcnhw", w, v)
+        h = h.reshape(B, C, N, H, W)
+        h = self.nin(h, 3)
+        x = (x + h) / np.sqrt(2.0)  # skip_rescale=True path
+        return x.reshape(B, CN, H, W)
+
+
+def _rand_attn_weights(C, seed):
+    g = torch.Generator().manual_seed(seed)
+    return (
+        [torch.randn(C, C, generator=g) * 0.2 for _ in range(4)],
+        [torch.randn(C, generator=g) * 0.1 for _ in range(4)],
+        torch.randn(C, generator=g) * 0.2 + 1.0,  # gn scale
+        torch.randn(C, generator=g) * 0.1,  # gn bias
+    )
+
+
+def test_attn3d_full_oracle_anchored_at_n1():
+    """At N=1 the intended AttnBlockpp3d_old math degenerates to AttnBlockpp;
+    anchor the fixed-einsum oracle to the verified 2D oracle there."""
+    C, Hd = 16, 8
+    Ws, bs, gs, gb = _rand_attn_weights(C, 7)
+    o3d = TorchAttn3dFullOracle(C, 1, Hd)
+    o2d = TorchAttnOracle(C, Hd)
+    with torch.no_grad():
+        for o in (o3d, o2d):
+            o.gn.weight.copy_(gs)
+            o.gn.bias.copy_(gb)
+            for i in range(4):
+                o.W[i].copy_(Ws[i])
+                o.b[i].copy_(bs[i])
+        x = torch.randn(2, C, 6, 6, generator=torch.Generator().manual_seed(1))
+        np.testing.assert_allclose(
+            o3d(x).numpy(), o2d(x).numpy(), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_attention_3d_full_matches_torch():
+    """AttnBlock3dFull vs the intended-reference oracle at N=3, multi-head,
+    with randomized weights (init_scale=0 leaves NIN_3 ~ zero, which would
+    let a broken attention path pass — so weights are explicitly random)."""
+    C, N, Hd = 16, 3, 8
+    x = torch.randn(2, C * N, 6, 6, generator=torch.Generator().manual_seed(0))
+
+    attn = blocks.AttnBlock3dFull(channels=C * N, n_frames=N, n_head_channels=Hd)
+    params = jax.jit(attn.init)(jax.random.PRNGKey(0), to_nhwc(x))
+    Ws, bs, gs, gb = _rand_attn_weights(C, 11)
+    p = jax.tree_util.tree_map(lambda a: a, params)  # shallow-copyable pytree
+    inner = p["params"]["att"]
+    inner["GroupNorm_0"]["scale"] = jnp.asarray(gs.numpy())
+    inner["GroupNorm_0"]["bias"] = jnp.asarray(gb.numpy())
+    for i in range(4):
+        inner[f"NIN_{i}"]["W"] = jnp.asarray(Ws[i].numpy())
+        inner[f"NIN_{i}"]["b"] = jnp.asarray(bs[i].numpy())
+
+    oracle = TorchAttn3dFullOracle(C, N, Hd)
+    with torch.no_grad():
+        oracle.gn.weight.copy_(gs)
+        oracle.gn.bias.copy_(gb)
+        for i in range(4):
+            oracle.W[i].copy_(Ws[i])
+            oracle.b[i].copy_(bs[i])
+        ref = oracle(x)
+
+    got = jax.jit(attn.apply)(p, to_nhwc(x))
+    np.testing.assert_allclose(to_nchw(got), ref.numpy(), rtol=5e-4, atol=5e-5)
+
+
 class TorchBigGANResBlockOracle(torch.nn.Module):
     """Reference ResnetBlockBigGANppGN math (layerspp.py:553-624) with AdaGN
     (get_act_norm, layerspp.py:486-549), 2D, fir kernel [1,3,3,1]."""

@@ -87,6 +87,17 @@ def test_future_frames():
     run_forward(make_config(num_frames_future=1))
 
 
+def test_full3d_attn_variant():
+    """model.full3d_attn swaps the factorized 3D attention for the full
+    joint space-time block (reference layers3d.py:139 AttnBlockpp3d_old,
+    abandoned+broken upstream; parity in test_blocks_parity.py)."""
+    config = make_config(arch="unetmore3d")
+    config.model.full3d_attn = True
+    params, _ = run_forward(config)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert any("att" in jax.tree_util.keystr(k) for k, _ in flat)
+
+
 def test_init_scale_zero_output():
     """Final conv is zero-init (init_scale=0 -> 1e-10): output ~ 0 at init."""
     config = make_config()
