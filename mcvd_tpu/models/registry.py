@@ -114,15 +114,22 @@ def get_score_fn(
     if isinstance(sde, (sde_lib.VPSDE, sde_lib.subVPSDE)):
 
         def score_fn(x, t):
+            # Model labels follow THIS repo's ladder (schedules.py: index 0
+            # = MOST noised), so SDE time is flipped before it reaches the
+            # model: t=0 (data) -> the least-noised label. The reference's
+            # utils.py:141-156 passes t*999 unflipped because score_sde
+            # models use the opposite label convention; ours do not.
             if continuous or isinstance(sde, sde_lib.subVPSDE):
-                # t=0 -> lowest noise; max time-embedding value assumed 999.
-                labels = t * 999
+                labels = (sde.T - t) / sde.T * 999
                 score = model_fn(x, labels)
                 std = sde.marginal_prob(jnp.zeros_like(x), t)[1]
             else:
-                labels = t * (sde.N - 1)
+                # sde tables stay in score_sde order (index 0 = data), so
+                # the std lookup uses the UNflipped index.
+                sde_idx = (t * (sde.N - 1)).astype(jnp.int32)
+                labels = (sde.N - 1) - sde_idx
                 score = model_fn(x, labels)
-                std = jnp.asarray(sde.sqrt_1m_alphas_cumprod)[labels.astype(jnp.int32)]
+                std = jnp.asarray(sde.sqrt_1m_alphas_cumprod)[sde_idx]
             return -score / std[(...,) + (None,) * (x.ndim - 1)]
 
     elif isinstance(sde, sde_lib.VESDE):
@@ -131,7 +138,8 @@ def get_score_fn(
             if continuous:
                 labels = sde.marginal_prob(jnp.zeros_like(x), t)[1]
             else:
-                # t=0 -> HIGHEST noise level for VE-trained models.
+                # t=0 (data) -> index N-1, the LEAST-noised level under the
+                # repo ladder (index 0 = most noised); t=T (prior) -> 0.
                 labels = jnp.round((sde.T - t) * (sde.N - 1)).astype(jnp.int32)
             return model_fn(x, labels)
 

@@ -49,7 +49,7 @@ from . import plots
 logger = logging.getLogger(__name__)
 
 
-def chunk_block(block, max_rows: int = 128):
+def chunk_block(block, max_rows: int = 128, multiple: int = 1):
     """Bound the per-call batch of a block sampler.
 
     The axon TPU worker hard-crashes ("kernel fault", OOM-shaped) when the
@@ -61,18 +61,29 @@ def chunk_block(block, max_rows: int = 128):
     batch-size semantics (how many samples a loader round produces) are
     unchanged. Override the cap with MCVD_MAX_SAMPLER_BATCH.
 
+    `multiple` is the sharding unit (the mesh 'data' axis size): every chunk
+    stays a multiple of it, because the wrapped block may place rows with a
+    P('data') NamedSharding, which rejects non-divisible batches. Chunks may
+    exceed max_rows when multiple itself does. A batch that is not a
+    multiple is dispatched whole (it would be rejected by the sharding
+    layer anyway; _eval_batch_size guarantees divisibility at our call
+    sites).
+
     Applied OUTSIDE wrap_block_collective: chunk counts are derived from
     shapes identical across processes, so every process performs the same
     sequence of collective calls."""
     max_rows = int(os.environ.get("MCVD_MAX_SAMPLER_BATCH", max_rows))
+    mult = max(1, int(multiple))
 
     def wrapped(params, key, init, cond=None, cond_mask=None):
         bs = init.shape[0]
-        if max_rows <= 0 or bs <= max_rows:
+        if max_rows <= 0 or bs <= max_rows or bs % mult:
             return block(params, key, init, cond, cond_mask)
-        n_chunks = -(-bs // max_rows)
-        base, rem = divmod(bs, n_chunks)
-        sizes = [base + 1] * rem + [base] * (n_chunks - rem)
+        units = bs // mult                      # chunk in sharding units
+        max_units = max(1, max_rows // mult)
+        n_chunks = -(-units // max_units)
+        base, rem = divmod(units, n_chunks)
+        sizes = [(base + 1) * mult] * rem + [base * mult] * (n_chunks - rem)
         outs = []
         start = 0
         for ci, n in enumerate(sizes):
@@ -560,7 +571,7 @@ class Runner:
             jax.random.PRNGKey(getattr(self.args, "seed", 0) + ckpt),
             ckpt=ckpt, max_data_iter=max_data_iter, preds_per_test=preds_per_test,
             train=train, lpips_fn=lpips_fn, i3d_embedder=i3d_embedder,
-            block_sampler=self._mp_block_sampler(),
+            block_sampler=self._guarded_block_sampler(),
         )
 
     def _enable_eval_kernels(self):
@@ -595,6 +606,27 @@ class Runner:
             self._mp_block_jits[ensemble] = wrapped
         return wrapped
 
+    def _guarded_block_sampler(self, ensemble: bool = False):
+        """The one route to a block sampler for every eval consumer
+        (sample/video_gen/fast_fid/fid-loop): the multi-process collective
+        wrap when running distributed, plus the axon per-call batch cap
+        (chunk_block), with chunk sizes kept multiples of the mesh data
+        axis so the P('data') sharding inside wrap_block_collective stays
+        valid for every chunk."""
+        d = int(self.mesh.shape.get("data", 1)) if self.mesh is not None else 1
+        block = self._mp_block_sampler(ensemble=ensemble)
+        if block is None:
+            # memoize the local jit too: a fresh sampler per in-training
+            # snapshot would re-trace the whole reverse-diffusion scan
+            if not hasattr(self, "_local_block_jits"):
+                self._local_block_jits = {}
+            block = self._local_block_jits.get(ensemble)
+            if block is None:
+                block = make_block_sampler(self.config, self.model,
+                                           self.sched, ensemble=ensemble)
+                self._local_block_jits[ensemble] = block
+        return chunk_block(block, multiple=d)
+
     def video_gen(self, ckpt: Optional[int] = None):
         args, config = self.args, self.config
         is_main = jax.process_index() == 0
@@ -628,7 +660,7 @@ class Runner:
                 pred=unfold(pred), real=unfold(real), cond=unfold(cond),
             )
 
-        mp_block = self._mp_block_sampler()
+        mp_block = self._guarded_block_sampler()
         vm = run_video_gen(
             config, self.model, params, self.sched, iter(loader),
             jax.random.PRNGKey(getattr(args, "seed", 0)),
@@ -714,8 +746,7 @@ class Runner:
             num_frames_pred=config.data.num_frames,
             prob_mask_cond=0.0, prob_mask_future=0.0, conditional=conditional,
         )
-        block = chunk_block(self._mp_block_sampler()
-                            or make_block_sampler(config, self.model, self.sched))
+        block = self._guarded_block_sampler()
         key = jax.random.PRNGKey(getattr(args, "seed", 0))
         shape = real.shape
         init = init_noise(key, config, self.sched, shape)
@@ -756,8 +787,7 @@ class Runner:
         data_iter = iter(DataLoader(test_ds, batch_size=bs, shuffle=True,
                                     seed=getattr(args, "seed", 0), repeat=True,
                                     drop_last=True))
-        block = chunk_block(self._mp_block_sampler()
-                            or make_block_sampler(config, self.model, self.sched))
+        block = self._guarded_block_sampler()
         out_dir = getattr(args, "image_folder", args.log_path)
         os.makedirs(out_dir, exist_ok=True)
         key = jax.random.PRNGKey(getattr(args, "seed", 0))
@@ -801,9 +831,12 @@ class Runner:
         params, step = self._load_eval_params(ckpt)
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
-        bs = getattr(config.sampling, "batch_size", 8)
-        if jax.process_count() > 1:
-            bs = self._eval_batch_size(bs, bs, "sample inpainting")
+        # clamp to the SPLIT SIZE too (not just the mesh axis): a first
+        # batch shorter than bs would violate the P('data') sharding below,
+        # and single-process it would desync init/cond row counts
+        bs = self._eval_batch_size(
+            getattr(config.sampling, "batch_size", 8), len(test_ds),
+            "sample inpainting")
         X, _ = next(iter(DataLoader(test_ds, batch_size=bs, shuffle=False)))
         Xt = data_transform(config, jnp.asarray(X))
         refer, cond, cond_mask = conditioning_fn(
@@ -850,9 +883,12 @@ class Runner:
         params, step = self._load_eval_params(ckpt)
         _, test_ds = get_dataset(args.data_path, config,
                                  video_frames_pred=config.data.num_frames)
-        bs = getattr(config.sampling, "batch_size", 8)
-        if jax.process_count() > 1:
-            bs = self._eval_batch_size(bs, bs, "sample interpolation")
+        # clamp to the split size too: `init` below is built with bs rows
+        # while cond comes from the loader's first batch — a short first
+        # batch would desync them (and break P('data') multi-process)
+        bs = self._eval_batch_size(
+            getattr(config.sampling, "batch_size", 8), len(test_ds),
+            "sample interpolation")
         n_interp = getattr(config.sampling, "n_interpolations", 15)
         sz, C = config.data.image_size, config.data.channels
         F = config.data.num_frames
@@ -1044,14 +1080,10 @@ class Runner:
         os.makedirs(cache_dir, exist_ok=True)
         ensemble = bool(getattr(ff, "ensemble", False))
         num_ensembles = int(getattr(ff, "num_ensembles", 5))
-        block = make_block_sampler(config, self.model, self.sched,
-                                   ensemble=ensemble)
-        if jax.process_count() > 1:
-            # multi-process: the sampler chain is the collective island;
-            # loaders/feature-embedding/Fréchet math run identically on every
-            # process (same seeds), process 0 owns the cache/yml writes
-            block = wrap_block_collective(block, self.mesh)
-        block = chunk_block(block)  # axon guard: bound per-call batch
+        # multi-process: the sampler chain is the collective island;
+        # loaders/feature-embedding/Fréchet math run identically on every
+        # process (same seeds), process 0 owns the cache/yml writes
+        block = self._guarded_block_sampler(ensemble=ensemble)
         is_main = jax.process_index() == 0
         C, F = config.data.channels, config.data.num_frames
 

@@ -73,3 +73,36 @@ def test_env_override(monkeypatch):
     block = chunk_block(make_recording_block(calls), max_rows=128)
     block(None, jax.random.PRNGKey(0), jnp.zeros((30, 2)))
     assert [c["n"] for c in calls] == [10, 10, 10]
+
+def test_multiple_keeps_chunks_shardable():
+    """Chunks stay multiples of the mesh data axis (multi-process eval
+    places rows with P('data'), which rejects non-divisible batches):
+    250 rows on an 8-wide data axis must NOT split into [125, 125]."""
+    calls = []
+    block = chunk_block(make_recording_block(calls), max_rows=128, multiple=8)
+    init = jnp.arange(248 * 2, dtype=jnp.float32).reshape(248, 2)
+    out = block(None, jax.random.PRNGKey(0), init)
+    sizes = [c["n"] for c in calls]
+    assert sum(sizes) == 248
+    assert all(s % 8 == 0 for s in sizes)
+    assert max(sizes) <= 128
+    assert len(set(sizes)) <= 2
+    np.testing.assert_allclose(out, np.asarray(init) + 1.0)
+
+
+def test_multiple_exceeding_cap_wins():
+    """The sharding unit is a hard floor: chunks of `multiple` rows even
+    when multiple > max_rows."""
+    calls = []
+    block = chunk_block(make_recording_block(calls), max_rows=100, multiple=128)
+    block(None, jax.random.PRNGKey(0), jnp.zeros((256, 2)))
+    assert [c["n"] for c in calls] == [128, 128]
+
+
+def test_non_multiple_batch_dispatches_whole():
+    """A batch that is not a multiple of the sharding unit cannot be split
+    below it; it is dispatched whole (the sharding layer owns the error)."""
+    calls = []
+    block = chunk_block(make_recording_block(calls), max_rows=100, multiple=8)
+    block(None, jax.random.PRNGKey(0), jnp.zeros((250, 2)))
+    assert [c["n"] for c in calls] == [250]

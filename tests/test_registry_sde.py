@@ -167,6 +167,9 @@ class _DummyModel:
 
 
 def test_score_fn_vp_discrete_scaling():
+    """The model label is FLIPPED to the repo ladder (index 0 = most
+    noised; schedules.py), while the std lookup stays in score_sde table
+    order (index 0 = data)."""
     sde = sde_lib.VPSDE(N=1000)
     model = _DummyModel()
     params = {"gain": 2.0}
@@ -174,12 +177,17 @@ def test_score_fn_vp_discrete_scaling():
     x = jnp.ones((2, 4))
     t = jnp.full((2,), 0.3)
     out = score_fn(x, t)
-    labels = np.asarray(t) * (sde.N - 1)
-    std = sde.sqrt_1m_alphas_cumprod[labels.astype(np.int32)]
+    sde_idx = (np.asarray(t) * (sde.N - 1)).astype(np.int32)
+    std = sde.sqrt_1m_alphas_cumprod[sde_idx]
     np.testing.assert_allclose(
         np.asarray(out), np.broadcast_to(-2.0 / std[:, None], out.shape), rtol=1e-5
     )
-    np.testing.assert_allclose(np.asarray(model.seen_labels), labels, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(model.seen_labels), (sde.N - 1) - sde_idx, rtol=1e-6
+    )
+    # t=0 is DATA -> the least-noised label (N-1) under the repo ladder
+    score_fn(x, jnp.zeros((2,)))
+    assert int(model.seen_labels[0]) == sde.N - 1
 
 
 def test_score_fn_vp_continuous_scaling():
@@ -189,7 +197,9 @@ def test_score_fn_vp_continuous_scaling():
     x = jnp.ones((2, 4))
     t = jnp.full((2,), 0.3)
     out = score_fn(x, t)
-    np.testing.assert_allclose(np.asarray(model.seen_labels), 0.3 * 999, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(model.seen_labels), (1.0 - 0.3) * 999, rtol=1e-6
+    )
     _, std = sde.marginal_prob(jnp.zeros_like(x), t)
     np.testing.assert_allclose(
         np.asarray(out),
@@ -199,7 +209,8 @@ def test_score_fn_vp_continuous_scaling():
 
 
 def test_score_fn_ve_discrete_label_flip():
-    """VE discrete: t=0 maps to the HIGHEST noise index (N-1)."""
+    """VE discrete: t=0 (data) maps to index N-1, the LEAST-noised level
+    under the repo ladder (index 0 = most noised); t=T maps to 0."""
     sde = sde_lib.VESDE(N=100)
     model = _DummyModel()
     score_fn = registry.get_score_fn(sde, model, {"gain": 1.0}, continuous=False)
