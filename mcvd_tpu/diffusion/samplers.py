@@ -30,6 +30,21 @@ from .schedules import DiffusionSchedule, subsample_schedule
 EpsFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def check_n_steps_each(n_steps_each: int) -> int:
+    """Langevin samplers need >=1 inner step per sigma level. The shared
+    config schema carries `sampling.n_steps_each: 0` in the DDPM-family
+    YAMLs (it is a dead knob there), so running an SMLD/Langevin sampler
+    against such a config would otherwise fail as a ZeroDivisionError deep
+    inside a reshape — fail loudly at the boundary instead."""
+    if int(n_steps_each) < 1:
+        raise ValueError(
+            f"sampling.n_steps_each={n_steps_each}: SMLD/Langevin samplers "
+            "need at least 1 inner step per noise level (DDPM-schema "
+            "configs set it to 0 — set sampling.n_steps_each and "
+            "sampling.step_lr for Langevin sampling)")
+    return int(n_steps_each)
+
+
 class _Tables(NamedTuple):
     steps: np.ndarray        # original-schedule indices fed as labels
     alphas: np.ndarray
@@ -363,6 +378,7 @@ def anneal_langevin_dynamics(
 
     Model output is z with score = -z/sigma, hence the -step/sigma * z update.
     """
+    n_steps_each = check_n_steps_each(n_steps_each)
     assert sched.sigmas is not None
     sigmas = sched.sigmas
     if frac_steps is not None:
@@ -434,6 +450,7 @@ def anneal_langevin_dynamics_consistent(
     (reference passes y_is_label=False); `eps_fn_label` is used for the final
     denoise step (labels), defaulting to eps_fn_sigma with sigma values.
     """
+    n_steps_each = check_n_steps_each(n_steps_each)
     assert sched.sigmas is not None
     sigmas = sched.sigmas
     L = len(sigmas)

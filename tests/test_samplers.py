@@ -266,3 +266,25 @@ def test_langevin_smld_zero_noise():
     labels = 9 * torch.ones(x.shape[0], dtype=torch.long)
     x = x - sigmas[-1] * eps_fn_torch(x, labels)
     np.testing.assert_allclose(np.asarray(out), x.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_langevin_n_steps_each_zero_fails_loudly():
+    """DDPM-schema configs carry sampling.n_steps_each: 0; running a
+    Langevin sampler against one must raise a clear ValueError at the
+    boundary, not a ZeroDivisionError inside a reshape."""
+    import pytest
+
+    from mcvd_tpu.diffusion import langevin_extras, samplers
+
+    sched = make_schedule(cfg(T=5, version="SMLD", dist="geometric"))
+    x = jnp.zeros((2, 8, 8, 1))
+    eps = lambda x, t: jnp.zeros_like(x)
+    with pytest.raises(ValueError, match="n_steps_each"):
+        samplers.anneal_langevin_dynamics(
+            jax.random.PRNGKey(0), x, eps, sched, n_steps_each=0)
+    with pytest.raises(ValueError, match="n_steps_each"):
+        langevin_extras.anneal_langevin_inpainting(
+            jax.random.PRNGKey(0), x, x, eps, sched, n_steps_each=0)
+    with pytest.raises(ValueError, match="n_steps_each"):
+        langevin_extras.anneal_langevin_interpolation(
+            jax.random.PRNGKey(0), x, eps, sched, 3, n_steps_each=0)
