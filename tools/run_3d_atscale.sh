@@ -19,7 +19,10 @@ MODS="model.ngf=$NGF training.compute_dtype=bfloat16 training.batch_size=64 \
  sampling.subsample=100 sampling.num_frames_pred=20 \
  sampling.batch_size=64 sampling.preds_per_test=5 sampling.fvd=False"
 
+# auto-resume: an existing rolling checkpoint means a prior (possibly
+# shorter) run — extend it instead of restarting from scratch
 RESUME=""
+[ -d "$EXP/logs/checkpoint" ] && RESUME="--resume_training"
 while true; do
     python main.py --config configs/smmnist_DDPM_small5_3d.yml \
         --data_path /tmp/smmnist_data --exp "$EXP" --ni --train $RESUME \

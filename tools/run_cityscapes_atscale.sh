@@ -18,7 +18,10 @@ MODS="training.compute_dtype=bfloat16 training.batch_size=32 \
  sampling.subsample=100 sampling.num_frames_pred=$PRED \
  sampling.batch_size=32 sampling.preds_per_test=2 sampling.fvd=False"
 
+# auto-resume: an existing rolling checkpoint means a prior (possibly
+# shorter) run — extend it instead of restarting from scratch
 RESUME=""
+[ -d "$EXP/logs/checkpoint" ] && RESUME="--resume_training"
 while true; do
     python main.py --config configs/cityscapes_big.yml \
         --data_path "$DATA" --exp "$EXP" --ni --train $RESUME \
